@@ -1,0 +1,73 @@
+"""VGG-16 encoder (slim layout) as pure functions.
+
+Mirrors slim's vgg_16 as invoked by the reference
+(models/CNN/vgg.py:144-240, called at model_normalization.py:74-77 with
+num_classes=1024, is_training=False, spatial_squeeze=False):
+
+  conv1(2x64) pool conv2(2x128) pool conv3(3x256) pool conv4(3x512) pool
+  conv5(3x512) pool fc6(7x7x4096 VALID) fc7(1x1x4096) fc8(1x1xnum_classes)
+
+Dropout layers are no-ops (the reference always runs the encoder with
+is_training=False). The endpoints dict exposes the post-ReLU conv activations
+used for local-feature sampling: conv1_2, conv2_2, conv3_3, conv4_3, conv5_3.
+
+Param tree mirrors the TF checkpoint names so the TF1 converter is a rename:
+params["conv1"]["conv1_1"]["weights"] <-> vgg_16/conv1/conv1_1/weights.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from disn_tpu.models import layers
+
+# (block, [layer names], out_channels)
+_CFG = [
+    ("conv1", ["conv1_1", "conv1_2"], 64),
+    ("conv2", ["conv2_1", "conv2_2"], 128),
+    ("conv3", ["conv3_1", "conv3_2", "conv3_3"], 256),
+    ("conv4", ["conv4_1", "conv4_2", "conv4_3"], 512),
+    ("conv5", ["conv5_1", "conv5_2", "conv5_3"], 512),
+]
+
+# endpoints sampled for local features (model_normalization.py:171-185)
+ENDPOINTS = ("conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3")
+ENDPOINT_CHANNELS = (64, 128, 256, 512, 512)
+
+
+def init(key: jax.Array, in_channels: int = 3, num_classes: int = 1024) -> dict:
+    params: dict = {}
+    cin = in_channels
+    keys = jax.random.split(key, 16)
+    ki = 0
+    for block, names, cout in _CFG:
+        params[block] = {}
+        for name in names:
+            params[block][name] = layers.init_conv(keys[ki], 3, 3, cin, cout)
+            ki += 1
+            cin = cout
+    params["fc6"] = layers.init_conv(keys[ki], 7, 7, 512, 4096); ki += 1
+    params["fc7"] = layers.init_conv(keys[ki], 1, 1, 4096, 4096); ki += 1
+    params["fc8"] = layers.init_conv(keys[ki], 1, 1, 4096, num_classes)
+    return params
+
+
+def apply(params: dict, img: jnp.ndarray, compute_dtype=jnp.float32
+          ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """img: [B, 224, 224, C] in [0,1] (the reference feeds raw /255 images,
+    no mean subtraction). Returns (embedding [B, num_classes], endpoints)."""
+    x = img
+    endpoints: dict[str, jnp.ndarray] = {}
+    for block, names, _ in _CFG:
+        for name in names:
+            x = layers.conv2d(params[block][name], x,
+                              compute_dtype=compute_dtype)
+            endpoints[name] = x
+        x = layers.max_pool2d(x)
+    x = layers.conv2d(params["fc6"], x, padding="VALID",
+                      compute_dtype=compute_dtype)
+    x = layers.conv2d(params["fc7"], x, compute_dtype=compute_dtype)
+    x = layers.conv2d(params["fc8"], x, relu=False,
+                      compute_dtype=compute_dtype)
+    embedding = x.reshape(x.shape[0], x.shape[-1])  # squeeze 1x1 spatial
+    return embedding, endpoints
