@@ -62,6 +62,7 @@ class Config:
     multi_view: bool = False      # decode from precomputed fused features
     rot: bool = False             # rotate sample points into view frame
     num_classes: int = 1024       # VGG global-embedding width (fc8 out)
+    width_mult: float = 1.0       # scales encoder channel widths (tests/CI)
     img_h: int = 137
     img_w: int = 137
     vgg_size: int = 224           # encoder input resolution after resize
@@ -128,10 +129,13 @@ class Config:
         onestream: conv1_2..conv3_3 -> 64+128+256 = 448
         (reference: model_normalization.py:171-190, 153-168)
         """
+        from disn_tpu.models.vgg import scaled_width
+        chans = [scaled_width(c, self.width_mult)
+                 for c in (64, 128, 256, 512, 512)]
         if self.variant is Variant.TWOSTREAM:
-            return 64 + 128 + 256 + 512 + 512
+            return sum(chans)
         if self.variant is Variant.ONESTREAM:
-            return 64 + 128 + 256
+            return sum(chans[:3])
         return 0
 
     @property

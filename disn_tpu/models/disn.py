@@ -26,7 +26,8 @@ def init(cfg: Config, key: jax.Array) -> Params:
     k_vgg, k_a, k_b = jax.random.split(key, 3)
     params: Params = {
         "vgg_16": vgg.init(k_vgg, in_channels=cfg.img_channels,
-                           num_classes=cfg.num_classes)
+                           num_classes=cfg.num_classes,
+                           width_mult=cfg.width_mult)
     }
     if cfg.variant is Variant.TWOSTREAM:
         params["sdfprediction"] = sdfnet.init_global_head(

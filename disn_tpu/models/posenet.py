@@ -56,7 +56,8 @@ def init_heads(key: jax.Array, global_dim: int = 1024,
 def init(cfg: Config, key: jax.Array) -> Params:
     k_vgg, k_heads = jax.random.split(key)
     return {
-        "vgg_16": vgg.init(k_vgg, in_channels=3, num_classes=cfg.num_classes),
+        "vgg_16": vgg.init(k_vgg, in_channels=3, num_classes=cfg.num_classes,
+                           width_mult=cfg.width_mult),
         "cameraprediction": init_heads(k_heads, cfg.num_classes,
                                        shift=cfg.cam_shift),
     }

@@ -35,20 +35,28 @@ ENDPOINTS = ("conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3")
 ENDPOINT_CHANNELS = (64, 128, 256, 512, 512)
 
 
-def init(key: jax.Array, in_channels: int = 3, num_classes: int = 1024) -> dict:
+def scaled_width(c: int, width_mult: float) -> int:
+    """Channel width under a test/CI scale factor (1.0 = exact VGG-16)."""
+    return c if width_mult == 1.0 else max(8, int(round(c * width_mult)))
+
+
+def init(key: jax.Array, in_channels: int = 3, num_classes: int = 1024,
+         width_mult: float = 1.0) -> dict:
     params: dict = {}
     cin = in_channels
     keys = jax.random.split(key, 16)
     ki = 0
     for block, names, cout in _CFG:
+        cout = scaled_width(cout, width_mult)
         params[block] = {}
         for name in names:
             params[block][name] = layers.init_conv(keys[ki], 3, 3, cin, cout)
             ki += 1
             cin = cout
-    params["fc6"] = layers.init_conv(keys[ki], 7, 7, 512, 4096); ki += 1
-    params["fc7"] = layers.init_conv(keys[ki], 1, 1, 4096, 4096); ki += 1
-    params["fc8"] = layers.init_conv(keys[ki], 1, 1, 4096, num_classes)
+    fc = scaled_width(4096, width_mult)
+    params["fc6"] = layers.init_conv(keys[ki], 7, 7, cin, fc); ki += 1
+    params["fc7"] = layers.init_conv(keys[ki], 1, 1, fc, fc); ki += 1
+    params["fc8"] = layers.init_conv(keys[ki], 1, 1, fc, num_classes)
     return params
 
 
