@@ -1,0 +1,184 @@
+"""Dense-grid SDF inference: the latency path (image -> (res+1)^3 SDF volume).
+
+Re-imagines test/create_sdf.py:224-289. The reference pads the 16.97M-point
+256^3 grid to 79 sequential 214,669-point sess.runs chosen to fit GPU memory.
+Here the grid never materializes at all:
+
+* the image is encoded ONCE; per-point local features are sampled straight
+  from the ORIGINAL multi-scale VGG endpoint maps with composed
+  resize-then-resample coefficients (ops/image.resize_then_sample) — the five
+  original maps total ~12 MB in bf16 and stay on-chip, while the reference's
+  materialized 137x137x1472 resized stack would be ~110 MB;
+* grid points are generated on the fly per block from the flat index
+  (core/grids.grid_block) and streamed through project -> sample -> two-stream
+  MLP under lax.map — XLA double-buffers blocks through VMEM;
+* across chips the flat point axis is sharded over the mesh 'points' axis with
+  shard_map (SURVEY.md §2.9 P3): every device computes its own slab offset
+  from axis_index, no collectives until the slabs are gathered (and none at
+  all when each chip keeps its slab).
+
+Prediction scaling matches the reference (create_sdf.py:279-285): regression
+head -> pred/10, binary head -> (softmax_1 - 0.5)/10.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from disn_tpu.config import Config, Variant
+from disn_tpu.core import camera, grids
+from disn_tpu.models import disn, sdfnet, vgg
+from disn_tpu.ops import image as image_ops
+from disn_tpu.parallel.mesh import POINT_AXIS
+
+Params = dict[str, Any]
+
+
+def scale_pred(pred: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Map raw head output to SDF value (create_sdf.py:279-285)."""
+    if cfg.binary:
+        return (jax.nn.softmax(pred, axis=-1)[..., 1] - 0.5) / cfg.sdf_weight
+    return pred[..., 0] / cfg.sdf_weight
+
+
+def _decode_block(params: Params, endpoints: dict[str, jnp.ndarray],
+                  embedding: jnp.ndarray, trans_mat: jnp.ndarray,
+                  pts: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """[P,3] points -> [P] sdf values for one image (no batch dim)."""
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    pts_b = pts[None]  # [1,P,3]
+    if cfg.variant in (Variant.TWOSTREAM, Variant.ONESTREAM):
+        px = camera.project_points(pts_b, trans_mat[None],
+                                   img_w=cfg.img_w, img_h=cfg.img_h)
+        names = (vgg.ENDPOINTS if cfg.variant is Variant.TWOSTREAM
+                 else vgg.ENDPOINTS[:3])
+        local = jnp.concatenate([
+            image_ops.resize_then_sample(endpoints[n], px, cfg.img_h, cfg.img_w)
+            for n in names], axis=-1)
+        if cfg.variant is Variant.TWOSTREAM:
+            pred = (sdfnet.apply_global_head(
+                        params["sdfprediction"], pts_b, embedding, cd)
+                    + sdfnet.apply_local_head(
+                        params["sdfprediction_imgfeat"], pts_b, local, cd))
+        else:
+            pred = sdfnet.apply_onestream_head(
+                params["sdfimgfeat"], pts_b, embedding, local, cd)
+    elif cfg.variant is Variant.GLOBAL:
+        pred = sdfnet.apply_global_head(params["sdfprediction"], pts_b,
+                                        embedding, cd)
+    else:
+        raise ValueError("THREEDCNN decodes a fixed volume; use apply_3dcnn_head")
+    if cfg.tanh:
+        pred = jnp.tanh(pred)
+    return scale_pred(pred, cfg)[0]
+
+
+def _stream_blocks(params, endpoints, embedding, trans_mat, sdf_params,
+                   cfg: Config, start: jnp.ndarray, count: int,
+                   block: int) -> jnp.ndarray:
+    """SDF values for flat grid indices [start, start+count) in `block` steps."""
+    n_blocks = count // block
+    resolution = cfg.grid_resolution
+
+    def one(i):
+        pts = grids.grid_block(sdf_params, resolution, start + i * block, block)
+        return _decode_block(params, endpoints, embedding, trans_mat, pts, cfg)
+
+    vals = jax.lax.map(one, jnp.arange(n_blocks, dtype=jnp.int32))
+    return vals.reshape(count)
+
+
+def _prep(params: Params, img: jnp.ndarray, cfg: Config):
+    """Encode the image once; cast endpoint maps to the compute dtype."""
+    embedding, endpoints = disn.encode(params, img, cfg)
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    keep = (vgg.ENDPOINTS if cfg.variant is Variant.TWOSTREAM
+            else vgg.ENDPOINTS[:3])
+    endpoints = {n: endpoints[n].astype(cd) for n in keep}
+    return embedding, endpoints
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def make_dense_sdf_fn(cfg: Config, block: int = 65536):
+    """Single-device jitted fn: (params, img[1,H,W,C], trans_mat[4,3],
+    sdf_params[6]) -> [R,R,R] float32 volume (z,y,x indexed, x fastest)."""
+    resolution = cfg.grid_resolution
+    total = resolution ** 3
+    block = min(block, _round_up(total, 8))
+    padded = _round_up(total, block)
+
+    @jax.jit
+    def fn(params, img, trans_mat, sdf_params):
+        embedding, endpoints = _prep(params, img, cfg)
+        vals = _stream_blocks(params, endpoints, embedding, trans_mat,
+                              sdf_params, cfg, jnp.int32(0), padded, block)
+        return vals[:total].reshape(resolution, resolution, resolution)
+
+    return fn
+
+
+def make_sharded_dense_sdf_fn(cfg: Config, mesh: Mesh, block: int = 65536):
+    """Multi-chip jitted fn: the flat grid index space is split into equal
+    contiguous slabs over the mesh 'points' axis; every device streams its own
+    slab (image features replicated). Output is a global [R,R,R] array sharded
+    along z — gather it (or write per-slab) downstream."""
+    resolution = cfg.grid_resolution
+    total = resolution ** 3
+    n_dev = mesh.shape[POINT_AXIS]
+    block = min(block, _round_up(-(-total // n_dev), 8))
+    per_dev = _round_up(-(-total // n_dev), block)
+    padded = per_dev * n_dev
+
+    # shard over every mesh axis so the slab count matches device count even
+    # when a data axis exists
+    axes = tuple(mesh.axis_names)
+
+    def worker(params, img, trans_mat, sdf_params):
+        embedding, endpoints = _prep(params, img, cfg)
+        idx = jax.lax.axis_index(POINT_AXIS)
+        if len(axes) > 1:
+            other = int(np.prod([mesh.shape[a] for a in axes
+                                 if a != POINT_AXIS]))
+            if other > 1:
+                raise ValueError("use a points-only mesh for dense inference")
+        start = idx * per_dev
+        vals = _stream_blocks(params, endpoints, embedding, trans_mat,
+                              sdf_params, cfg, start, per_dev, block)
+        return vals[None]  # [1, per_dev] -> concatenates over devices
+
+    sharded = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(POINT_AXIS),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def fn(params, img, trans_mat, sdf_params):
+        vals = sharded(params, img, trans_mat, sdf_params).reshape(padded)
+        return vals[:total].reshape(resolution, resolution, resolution)
+
+    return fn
+
+
+def dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
+              sdf_params: np.ndarray, cfg: Config, block: int = 65536,
+              mesh: Mesh | None = None) -> np.ndarray:
+    """Convenience wrapper returning a host numpy volume."""
+    if mesh is not None and mesh.shape[POINT_AXIS] > 1:
+        fn = make_sharded_dense_sdf_fn(cfg, mesh, block)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+    else:
+        fn = make_dense_sdf_fn(cfg, block)
+    vol = fn(params, jnp.asarray(img), jnp.asarray(trans_mat),
+             jnp.asarray(sdf_params))
+    return np.asarray(vol)

@@ -1,0 +1,284 @@
+"""On-device iso-surface extraction (replaces the closed-source Vega
+`computeMarchingCubes` binary, test/create_sdf.py:319-323).
+
+Method: marching tetrahedra over the Kuhn 6-tet cube decomposition. Each cube
+splits into 6 tetrahedra around the main diagonal c0-c6; the split is
+translation-consistent across cube faces, so the output mesh is watertight.
+Every tet contributes 0-2 triangles whose vertices lie on tet edges at the
+interpolated iso crossing.
+
+XLA-native design: variable-size output vs static shapes (SURVEY.md "hard
+parts" #2) is solved count-then-compact — every cell owns 12 static triangle
+slots (6 tets x 2), a mask + cumsum assigns compacted output positions, and a
+scatter with mode='drop' writes into a capped [max_tris] buffer. Large grids
+stream z-slabs through a fori_loop carrying the running triangle count.
+
+The 6x16 case tables are DERIVED at import: for each tet and sign case the
+edge list is produced by set algebra and the winding fixed numerically so
+triangle normals point from inside (value < iso) to outside — immune to the
+hand-typed-table errors classic MC implementations suffer.
+
+Vertices are emitted as triangle soup plus per-vertex canonical grid-edge keys
+(corner-id pairs), so exact welding is an np.unique on the host — shared
+topology with zero float-tolerance issues.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Cube corner offsets (x, y, z), indexed 0..7.
+CORNERS = np.array([
+    (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+    (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+], dtype=np.int32)
+
+# Kuhn decomposition: 6 tets around the main diagonal c0-c6.
+TETS = np.array([
+    (0, 5, 1, 6), (0, 1, 2, 6), (0, 2, 3, 6),
+    (0, 3, 7, 6), (0, 7, 4, 6), (0, 4, 5, 6),
+], dtype=np.int32)
+
+_N_SLOTS = 12  # 6 tets x up to 2 triangles
+
+
+@functools.lru_cache(maxsize=1)
+def _tables() -> tuple[np.ndarray, np.ndarray]:
+    """Derive ([6,16,2,3,2] edge tables, [6,16] tri counts).
+
+    edge table entries are (cube_corner_i, cube_corner_j) pairs; -1 padding.
+    Winding is fixed numerically per (tet, case): normals point from the
+    inside set (value < iso) toward the outside set.
+    """
+    edges = np.full((6, 16, 2, 3, 2), -1, dtype=np.int32)
+    counts = np.zeros((6, 16), dtype=np.int32)
+    corners_f = CORNERS.astype(np.float64)
+
+    for t, tet in enumerate(TETS):
+        pos = corners_f[tet]  # [4,3] tet corner positions
+        for case in range(1, 15):
+            inside = [i for i in range(4) if case & (1 << i)]
+            outside = [i for i in range(4) if not case & (1 << i)]
+            if len(inside) == 1:
+                i = inside[0]
+                tris = [[(i, outside[0]), (i, outside[1]), (i, outside[2])]]
+            elif len(inside) == 3:
+                o = outside[0]
+                tris = [[(inside[0], o), (inside[1], o), (inside[2], o)]]
+            else:  # 2 inside -> quad -> 2 triangles
+                i0, i1 = inside
+                o0, o1 = outside
+                tris = [[(i0, o0), (i0, o1), (i1, o1)],
+                        [(i0, o0), (i1, o1), (i1, o0)]]
+            out_dir = pos[outside].mean(axis=0) - pos[inside].mean(axis=0)
+            for k, tri in enumerate(tris):
+                pts = np.array([(pos[a] + pos[b]) / 2.0 for a, b in tri])
+                n = np.cross(pts[1] - pts[0], pts[2] - pts[0])
+                if np.dot(n, out_dir) < 0:
+                    tri = [tri[0], tri[2], tri[1]]
+                for v, (a, b) in enumerate(tri):
+                    edges[t, case, k, v] = (tet[a], tet[b])
+            counts[t, case] = len(tris)
+    return edges, counts
+
+
+def _cell_triangles(corner_vals: jnp.ndarray, corner_pos: jnp.ndarray,
+                    corner_gid: jnp.ndarray, iso: float
+                    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Vectorized over M cells.
+
+    corner_vals [M,8]; corner_pos [M,8,3]; corner_gid [M,8] int32 global ids.
+    Returns (tri_pos [M,12,3,3], tri_keys [M,12,3,2] int32, valid [M,12]).
+    """
+    edges_tbl, counts_tbl = _tables()
+    edges_j = jnp.asarray(edges_tbl)          # [6,16,2,3,2]
+    counts_j = jnp.asarray(counts_tbl)        # [6,16]
+    tets = jnp.asarray(TETS)
+
+    inside = (corner_vals < iso).astype(jnp.int32)  # [M,8]
+    # per-tet case ids: bits of the 4 tet corners
+    tet_corners = inside[:, tets]             # [M,6,4]
+    weights = jnp.asarray([1, 2, 4, 8], jnp.int32)
+    case = jnp.sum(tet_corners * weights, axis=-1)   # [M,6]
+
+    tri_edges = edges_j[jnp.arange(6)[None, :], case]  # [M,6,2,3,2]
+    n_tris = counts_j[jnp.arange(6)[None, :], case]    # [M,6]
+    slot = jnp.arange(2, dtype=jnp.int32)
+    valid = slot[None, None, :] < n_tris[..., None]    # [M,6,2]
+
+    ci = jnp.maximum(tri_edges[..., 0], 0)             # [M,6,2,3]
+    cj = jnp.maximum(tri_edges[..., 1], 0)
+
+    m = corner_vals.shape[0]
+    flat_idx_i = ci.reshape(m, -1)                     # [M,36]
+    flat_idx_j = cj.reshape(m, -1)
+    vi = jnp.take_along_axis(corner_vals, flat_idx_i, axis=1).reshape(ci.shape)
+    vj = jnp.take_along_axis(corner_vals, flat_idx_j, axis=1).reshape(ci.shape)
+    pi = jnp.take_along_axis(corner_pos, flat_idx_i[..., None], axis=1
+                             ).reshape(ci.shape + (3,))
+    pj = jnp.take_along_axis(corner_pos, flat_idx_j[..., None], axis=1
+                             ).reshape(ci.shape + (3,))
+    gi = jnp.take_along_axis(corner_gid, flat_idx_i, axis=1).reshape(ci.shape)
+    gj = jnp.take_along_axis(corner_gid, flat_idx_j, axis=1).reshape(ci.shape)
+
+    denom = vj - vi
+    t = jnp.where(jnp.abs(denom) > 1e-12, (iso - vi) / denom, 0.5)
+    t = jnp.clip(t, 0.0, 1.0)[..., None]
+    pts = pi + t * (pj - pi)                           # [M,6,2,3,3]
+
+    keys = jnp.stack([jnp.minimum(gi, gj), jnp.maximum(gi, gj)], axis=-1)
+    tri_pos = pts.reshape(m, _N_SLOTS, 3, 3)
+    tri_keys = keys.reshape(m, _N_SLOTS, 3, 2)
+    return tri_pos, tri_keys, valid.reshape(m, _N_SLOTS)
+
+
+def _slab_corners(volume: jnp.ndarray, z: jnp.ndarray, sdf_params: jnp.ndarray
+                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Corner (values, positions, gids) for all cells in z-slab `z`.
+
+    volume [R,R,R] (z,y,x). Returns [M,8], [M,8,3], [M,8] with M=(R-1)^2.
+    """
+    R = volume.shape[0]
+    slab = jax.lax.dynamic_slice_in_dim(volume, z, 2, axis=0)  # [2,R,R]
+    iy = jnp.arange(R - 1)
+    ix = jnp.arange(R - 1)
+    yy, xx = jnp.meshgrid(iy, ix, indexing="ij")
+    yy = yy.reshape(-1)
+    xx = xx.reshape(-1)
+    offs = jnp.asarray(CORNERS)  # [8,3] (x,y,z)
+    cx = xx[:, None] + offs[None, :, 0]
+    cy = yy[:, None] + offs[None, :, 1]
+    cz = offs[None, :, 2] * jnp.ones_like(cx)
+    vals = slab[cz, cy, cx]
+    gz = (z + offs[:, 2])[None, :] * (R * R)
+    gid = (gz + cy * R + cx).astype(jnp.int32)
+    # world positions
+    denom = jnp.float32(R - 1)
+    fx = cx.astype(jnp.float32) / denom
+    fy = cy.astype(jnp.float32) / denom
+    fz = jnp.broadcast_to((z + offs[None, :, 2]).astype(jnp.float32),
+                          cx.shape) / denom
+    lo = sdf_params[0:3]
+    hi = sdf_params[3:6]
+    pos = jnp.stack([lo[0] + fx * (hi[0] - lo[0]),
+                     lo[1] + fy * (hi[1] - lo[1]),
+                     lo[2] + fz * (hi[2] - lo[2])], axis=-1)
+    return vals, pos, gid
+
+
+def marching_tets(volume: jnp.ndarray, sdf_params: jnp.ndarray,
+                  iso: float = 0.0, max_tris: int = 1 << 20
+                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Extract iso-surface triangles from a [R,R,R] (z,y,x-indexed) volume.
+
+    Returns (tri_pos [max_tris,3,3] f32, tri_keys [max_tris,3,2] i32, count).
+    Slots >= count are zero. Jit-friendly: static output size; z-slabs stream
+    through a fori_loop carrying the running count.
+    """
+    R = volume.shape[0]
+    m = (R - 1) * (R - 1)
+
+    pos_buf = jnp.zeros((max_tris, 3, 3), jnp.float32)
+    key_buf = jnp.zeros((max_tris, 3, 2), jnp.int32)
+
+    def body(z, carry):
+        pos_buf, key_buf, count = carry
+        vals, pos, gid = _slab_corners(volume, z, sdf_params)
+        tri_pos, tri_keys, valid = _cell_triangles(vals, pos, gid, iso)
+        tri_pos = tri_pos.reshape(m * _N_SLOTS, 3, 3)
+        tri_keys = tri_keys.reshape(m * _N_SLOTS, 3, 2)
+        valid = valid.reshape(m * _N_SLOTS)
+        csum = jnp.cumsum(valid.astype(jnp.int32))
+        idx = jnp.where(valid, count + csum - 1, max_tris)  # OOB -> dropped
+        pos_buf = pos_buf.at[idx].set(tri_pos, mode="drop")
+        key_buf = key_buf.at[idx].set(tri_keys, mode="drop")
+        return pos_buf, key_buf, count + csum[-1]
+
+    pos_buf, key_buf, count = jax.lax.fori_loop(
+        0, R - 1, body, (pos_buf, key_buf, jnp.int32(0)))
+    return pos_buf, key_buf, count
+
+
+@functools.partial(jax.jit, static_argnames=("iso", "max_tris"))
+def marching_tets_jit(volume, sdf_params, iso: float = 0.0,
+                      max_tris: int = 1 << 20):
+    return marching_tets(volume, sdf_params, iso=iso, max_tris=max_tris)
+
+
+def weld(tri_pos: np.ndarray, tri_keys: np.ndarray, count: int
+         ) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side exact vertex welding via canonical grid-edge keys.
+
+    Returns (vertices [V,3] f32, faces [F,3] i32). Degenerate triangles
+    (repeated welded vertex — tet faces lying exactly on the iso) are dropped.
+    """
+    tri_pos = np.asarray(tri_pos[:count]).reshape(-1, 3)
+    keys = np.asarray(tri_keys[:count]).reshape(-1, 2).astype(np.int64)
+    flat = keys[:, 0] << 32 | keys[:, 1]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    verts = np.zeros((uniq.size, 3), np.float32)
+    verts[inv] = tri_pos  # last-writer wins; positions per key are identical
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+          & (faces[:, 0] != faces[:, 2]))
+    return verts, faces[ok]
+
+
+def extract_mesh(volume: np.ndarray, sdf_params: np.ndarray,
+                 iso: float = 0.0, max_tris: int | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """volume [R,R,R] (z,y,x) -> welded (vertices, faces)."""
+    R = volume.shape[0]
+    if max_tris is None:
+        # tight upper bound heuristic: surfaces cross O(R^2) cells
+        max_tris = min(12 * (R - 1) ** 3, max(1 << 14, 48 * (R - 1) ** 2))
+    vol = jnp.asarray(volume, jnp.float32)
+    params = jnp.asarray(sdf_params, jnp.float32)
+    tri_pos, tri_keys, count = marching_tets_jit(vol, params, iso=float(iso),
+                                                 max_tris=int(max_tris))
+    count = int(count)
+    if count > max_tris:
+        raise ValueError(f"triangle overflow: {count} > cap {max_tris}")
+    return weld(np.asarray(tri_pos), np.asarray(tri_keys), count)
+
+
+# --------------------------------------------------------------------------
+# Pure-numpy oracle (slow; tests only) — same tables, per-cell loop.
+# --------------------------------------------------------------------------
+
+def marching_tets_np(volume: np.ndarray, sdf_params: np.ndarray,
+                     iso: float = 0.0) -> np.ndarray:
+    """[T,3,3] triangle soup; reference implementation for small grids."""
+    edges_tbl, counts_tbl = _tables()
+    R = volume.shape[0]
+    lo, hi = np.asarray(sdf_params[:3]), np.asarray(sdf_params[3:6])
+
+    def corner_pos(ix, iy, iz):
+        f = np.array([ix, iy, iz], np.float64) / (R - 1)
+        return lo + f * (hi - lo)
+
+    tris = []
+    for iz in range(R - 1):
+        for iy in range(R - 1):
+            for ix in range(R - 1):
+                vals = np.array([volume[iz + o[2], iy + o[1], ix + o[0]]
+                                 for o in CORNERS])
+                pos = np.array([corner_pos(ix + o[0], iy + o[1], iz + o[2])
+                                for o in CORNERS])
+                inside = (vals < iso).astype(int)
+                for t in range(6):
+                    case = sum(inside[TETS[t, i]] << i for i in range(4))
+                    for k in range(counts_tbl[t, case]):
+                        tri = []
+                        for v in range(3):
+                            a, b = edges_tbl[t, case, k, v]
+                            va, vb = vals[a], vals[b]
+                            tt = 0.5 if abs(vb - va) < 1e-12 else \
+                                (iso - va) / (vb - va)
+                            tri.append(pos[a] + np.clip(tt, 0, 1)
+                                       * (pos[b] - pos[a]))
+                        tris.append(tri)
+    return np.asarray(tris, np.float32).reshape(-1, 3, 3)

@@ -1,0 +1,96 @@
+"""Marching-tetrahedra tests: geometric accuracy, topology (watertight,
+Euler characteristic), orientation (signed volume), device-vs-numpy oracle."""
+import numpy as np
+import pytest
+
+from disn_tpu.data import synthetic
+from disn_tpu.ops import marching
+
+
+def sphere_volume(R=33, r=0.6):
+    lin = np.linspace(-1, 1, R, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    pts = np.stack([xx, yy, zz], axis=-1)
+    return synthetic.sdf_sphere(pts, r=r).astype(np.float32)
+
+
+PARAMS = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+
+
+def mesh_stats(verts, faces):
+    v0, v1, v2 = (verts[faces[:, i]] for i in range(3))
+    cross = np.cross(v1 - v0, v2 - v0)
+    area = 0.5 * np.linalg.norm(cross, axis=1).sum()
+    # signed volume via divergence theorem (positive for outward normals)
+    vol = np.einsum("ij,ij->i", v0, cross).sum() / 6.0
+    return area, vol
+
+
+def test_sphere_mesh_geometry():
+    verts, faces = marching.extract_mesh(sphere_volume(), PARAMS)
+    assert len(verts) > 500 and len(faces) > 1000
+    radii = np.linalg.norm(verts, axis=1)
+    cell = 2.0 / 32
+    assert np.abs(radii - 0.6).max() < cell  # vertices on the sphere
+    area, vol = mesh_stats(verts, faces)
+    assert area == pytest.approx(4 * np.pi * 0.6 ** 2, rel=0.02)
+    assert vol == pytest.approx(4 / 3 * np.pi * 0.6 ** 3, rel=0.03)
+    assert vol > 0, "normals must point outward"
+
+
+def test_sphere_mesh_topology():
+    verts, faces = marching.extract_mesh(sphere_volume(R=17), PARAMS)
+    # watertight: every edge shared by exactly 2 faces
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all(), "mesh is not watertight"
+    # Euler characteristic of a sphere: V - E + F = 2
+    V, E, F = len(verts), len(np.unique(edges, axis=0)), len(faces)
+    assert V - E + F == 2
+
+
+def test_device_matches_numpy_oracle():
+    vol = sphere_volume(R=9, r=0.55)
+    soup_np = marching.marching_tets_np(vol, PARAMS)
+    import jax.numpy as jnp
+    pos, keys, count = marching.marching_tets_jit(
+        jnp.asarray(vol), jnp.asarray(PARAMS), max_tris=4096)
+    soup_dev = np.asarray(pos[:int(count)])
+    assert soup_dev.shape == soup_np.shape
+    # same triangles in same (z,y,x cell-scan) order
+    np.testing.assert_allclose(soup_dev, soup_np, atol=1e-5)
+
+
+def test_iso_offset_shifts_radius():
+    vol = sphere_volume(R=33, r=0.6)
+    verts, _ = marching.extract_mesh(vol, PARAMS, iso=0.1)
+    radii = np.linalg.norm(verts, axis=1)
+    assert np.abs(radii - 0.7).max() < 2.0 / 32
+
+
+def test_box_mesh_volume():
+    lin = np.linspace(-1, 1, 33, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    pts = np.stack([xx, yy, zz], axis=-1)
+    vol = synthetic.sdf_box(pts, half=0.45).astype(np.float32)
+    verts, faces = marching.extract_mesh(vol, PARAMS)
+    _, v = mesh_stats(verts, faces)
+    assert v == pytest.approx(0.9 ** 3, rel=0.05)
+
+
+def test_empty_volume():
+    vol = np.ones((9, 9, 9), np.float32)  # all outside
+    verts, faces = marching.extract_mesh(vol, PARAMS)
+    assert len(verts) == 0 and len(faces) == 0
+
+
+def test_overflow_detection():
+    vol = sphere_volume(R=17)
+    import jax.numpy as jnp
+    _, _, count = marching.marching_tets_jit(
+        jnp.asarray(vol), jnp.asarray(PARAMS), max_tris=8)
+    assert int(count) > 8  # count keeps increasing; extract_mesh raises
+    with pytest.raises(ValueError):
+        marching.extract_mesh(vol, PARAMS, max_tris=8)
