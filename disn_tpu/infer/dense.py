@@ -159,7 +159,7 @@ def make_sharded_dense_sdf_fn(cfg: Config, mesh: Mesh, block: int = 65536):
         worker, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=P(POINT_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
