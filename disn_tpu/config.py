@@ -106,6 +106,9 @@ class Config:
 
     # ---- numerics / hardware ----------------------------------------------
     compute_dtype: str = "float32"   # "bfloat16" for encoder conv compute
+    sampling: str = "tf1"            # local-feature sampling: "tf1" is the
+    # bit-exact 16-tap resize∘resample composition; "native" is the 4-tap
+    # direct sample of the original maps (fast path, equivalent off-edge)
     data_axis: str = "data"          # mesh axis for batch sharding
     point_axis: str = "points"       # mesh axis for query-point sharding
 

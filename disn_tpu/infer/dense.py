@@ -58,8 +58,10 @@ def _decode_block(params: Params, endpoints: dict[str, jnp.ndarray],
                                    img_w=cfg.img_w, img_h=cfg.img_h)
         names = (vgg.ENDPOINTS if cfg.variant is Variant.TWOSTREAM
                  else vgg.ENDPOINTS[:3])
+        sample = (image_ops.sample_native if cfg.sampling == "native"
+                  else image_ops.resize_then_sample)
         local = jnp.concatenate([
-            image_ops.resize_then_sample(endpoints[n], px, cfg.img_h, cfg.img_w)
+            sample(endpoints[n], px, cfg.img_h, cfg.img_w)
             for n in names], axis=-1)
         if cfg.variant is Variant.TWOSTREAM:
             pred = (sdfnet.apply_global_head(

@@ -85,7 +85,10 @@ def sample_local_features(endpoints: dict[str, jnp.ndarray],
     feats = []
     for name in names:
         fmap = endpoints[name]
-        if fused:
+        if cfg.sampling == "native":
+            feats.append(image_ops.sample_native(
+                fmap, img_points, cfg.img_h, cfg.img_w))
+        elif fused:
             feats.append(image_ops.resize_then_sample(
                 fmap, img_points, cfg.img_h, cfg.img_w))
         else:

@@ -127,3 +127,57 @@ def test_resize_then_sample_boundary():
     want = np.asarray(im.resampler(im.resize_bilinear(fj, 137, 137), cj))
     got = np.asarray(im.resize_then_sample(fj, cj, 137, 137))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_native_sampling_linear_reproduction():
+    """Both sampling schemes reproduce globally-LINEAR feature maps exactly
+    (every stage is an affine-combination of taps), so they must agree there;
+    on general maps native is a different (chord-free) interpolation."""
+    import jax.numpy as jnp
+    import numpy as np
+    from disn_tpu.ops import image as image_ops
+
+    h = w = 28
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    lin = (0.3 + 0.05 * xx - 0.02 * yy).astype(np.float32)[None, :, :, None]
+    feat = jnp.asarray(lin)
+    rng = np.random.RandomState(0)
+    coords = jnp.asarray(rng.uniform(2.0, 128.0, (1, 256, 2)).astype(np.float32))
+    a = np.asarray(image_ops.resize_then_sample(feat, coords, 137, 137))
+    b = np.asarray(image_ops.sample_native(feat, coords, 137, 137))
+    # direct analytic evaluation at scaled source coords
+    sx = np.asarray(coords)[0, :, 0] * (w / 137)
+    sy = np.asarray(coords)[0, :, 1] * (h / 137)
+    want = 0.3 + 0.05 * sx - 0.02 * sy
+    np.testing.assert_allclose(b[0, :, 0], want, atol=1e-5)
+    np.testing.assert_allclose(a[0, :, 0], want, atol=1e-5)
+
+
+def test_native_sampling_statistically_close():
+    """On random maps the two schemes differ only by sub-texel interpolation
+    choices: tiny mean deviation, bounded max."""
+    import jax.numpy as jnp
+    import numpy as np
+    from disn_tpu.ops import image as image_ops
+
+    rng = np.random.RandomState(1)
+    feat = jnp.asarray(rng.rand(1, 28, 28, 8).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(2.0, 128.0, (1, 2048, 2)).astype(np.float32))
+    a = np.asarray(image_ops.resize_then_sample(feat, coords, 137, 137))
+    b = np.asarray(image_ops.sample_native(feat, coords, 137, 137))
+    diff = np.abs(a - b)
+    assert diff.mean() < 0.02
+    assert diff.max() < 0.3
+
+
+def test_resampler_clamped_edges():
+    import jax.numpy as jnp
+    import numpy as np
+    from disn_tpu.ops import image as image_ops
+
+    data = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    coords = jnp.asarray([[[-1.0, 0.0], [5.0, 3.0], [1.5, 1.5]]], jnp.float32)
+    out = np.asarray(image_ops.resampler_clamped(data, coords))[0, :, 0]
+    assert out[0] == 0.0      # clamped to (0,0)
+    assert out[1] == 15.0     # clamped to (3,3)
+    assert out[2] == (5 + 6 + 9 + 10) / 4  # true bilinear interior
