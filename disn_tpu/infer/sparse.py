@@ -1,0 +1,211 @@
+"""Sparse two-level dense-grid inference: coarse cull -> fine refine.
+
+The reference evaluates all (res+1)^3 grid points (16.97M at res 256,
+test/create_sdf.py:69-77) even though marching cubes only consumes values
+near the iso-surface. Because the network predicts an (approximate) signed
+DISTANCE, a coarse pass can prove cubes of fine cells empty: if every corner
+of a coarse cell has |sdf| greater than the cell's world-space diagonal
+(times a safety factor), no surface can cross it. Only the surviving band
+(typically 3-10% of cells) is re-evaluated at fine resolution; the far field
+is filled by coarse-aligned trilinear upsampling, which preserves sign — the
+only thing the far field contributes to marching cubes.
+
+Static-shape design (XLA): active cells are compacted with the same
+cumsum+scatter(drop) trick as ops/marching.py into a fixed-cap cell list;
+overflow is detected via the returned count and the wrapper falls back to the
+exact dense path, so results are ALWAYS correct.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from disn_tpu.config import Config
+from disn_tpu.infer import dense as dense_mod
+
+Params = dict[str, Any]
+
+
+def _coarse_grid_cfg(cfg: Config, stride: int) -> Config:
+    fine_r = cfg.grid_resolution
+    if (fine_r - 1) % stride:
+        raise ValueError(f"stride {stride} must divide {fine_r - 1}")
+    return cfg.replace(sdf_res=(fine_r - 1) // stride)
+
+
+def _upsample_aligned(vol_c: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Trilinear upsample with coarse points EXACTLY on every stride-th fine
+    point (align-corners semantics; jax.image.resize uses half-pixel centers,
+    which would misalign the scattered fine values)."""
+    rc = vol_c.shape[0]
+    rf = (rc - 1) * stride + 1
+    idx = jnp.arange(rf)
+    i0 = jnp.minimum(idx // stride, rc - 2)
+    w = (idx - i0 * stride).astype(vol_c.dtype) / stride
+
+    def lerp(v, axis):
+        lo = jnp.take(v, i0, axis=axis)
+        hi = jnp.take(v, i0 + 1, axis=axis)
+        shape = [1, 1, 1]
+        shape[axis] = rf
+        ww = w.reshape(shape)
+        return lo * (1 - ww) + hi * ww
+
+    return lerp(lerp(lerp(vol_c, 0), 1), 2)
+
+
+def _active_cells(vol_c: jnp.ndarray, tau: jnp.ndarray, max_cells: int
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact the ids of coarse cells that may contain the iso-surface.
+
+    Active := any corner |v| < tau OR corner signs disagree.
+    Returns (cell_ids [max_cells] int32 (padded with 0), count).
+    """
+    rc = vol_c.shape[0]
+    c = rc - 1
+    corners = jnp.stack([
+        vol_c[dz:dz + c, dy:dy + c, dx:dx + c]
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ])  # [8, c, c, c]
+    near = jnp.min(jnp.abs(corners), axis=0) < tau
+    sign_change = jnp.any(corners < 0, axis=0) & jnp.any(corners >= 0, axis=0)
+    active = (near | sign_change).reshape(-1)
+
+    csum = jnp.cumsum(active.astype(jnp.int32))
+    idx = jnp.where(active, csum - 1, max_cells)
+    ids = jnp.zeros((max_cells,), jnp.int32).at[idx].set(
+        jnp.arange(active.shape[0], dtype=jnp.int32), mode="drop")
+    return ids, csum[-1]
+
+
+def make_sparse_dense_sdf_fn(cfg: Config, stride: int = 4,
+                             block: int = 65536,
+                             cell_cap_frac: float = 0.25,
+                             band_factor: float = 1.5):
+    """Jitted (params, img, trans_mat, sdf_params) ->
+    (volume [R,R,R] f32, active_count i32, cell_cap static int).
+
+    Caller must check active_count <= cell_cap (see sparse_dense_sdf)."""
+    fine_r = cfg.grid_resolution
+    coarse_cfg = _coarse_grid_cfg(cfg, stride)
+    rc = coarse_cfg.grid_resolution
+    n_cells = (rc - 1) ** 3
+    cell_cap = max(256, int(n_cells * cell_cap_frac))
+    pts_per_cell = stride ** 3
+    total_fine = cell_cap * pts_per_cell
+    block = min(block, total_fine)
+    padded_fine = -(-total_fine // block) * block
+
+    coarse_fn_total = -(-rc ** 3 // block) * block
+
+    def fn(params, img, trans_mat, sdf_params):
+        embedding, endpoints = dense_mod._prep(params, img, cfg)
+
+        # ---- pass 1: coarse grid -----------------------------------------
+        vol_c = dense_mod._stream_blocks(
+            params, endpoints, embedding, trans_mat, sdf_params, coarse_cfg,
+            jnp.int32(0), coarse_fn_total, block)[:rc ** 3].reshape(rc, rc, rc)
+
+        # conservative band: surface can hide in a cell only if some corner
+        # |sdf| < band_factor * cell world diagonal (Lipschitz-1 argument)
+        span = sdf_params[3:6] - sdf_params[0:3]
+        cell_diag = jnp.sqrt(jnp.sum(jnp.square(span / (rc - 1))))
+        tau = band_factor * cell_diag
+        cell_ids, count = _active_cells(vol_c, tau, cell_cap)
+
+        # ---- pass 2: fine points of active cells -------------------------
+        c = rc - 1
+
+        def fine_block(i):
+            q = i * block + jnp.arange(block, dtype=jnp.int32)
+            slot = q // pts_per_cell
+            off = q % pts_per_cell
+            cell = cell_ids[jnp.minimum(slot, cell_cap - 1)]
+            cz = cell // (c * c)
+            cy = (cell // c) % c
+            cx = cell % c
+            ox = off % stride
+            oy = (off // stride) % stride
+            oz = off // (stride * stride)
+            fx = cx * stride + ox
+            fy = cy * stride + oy
+            fz = cz * stride + oz
+            denom = jnp.float32(fine_r - 1)
+            lo = sdf_params[0:3]
+            hi = sdf_params[3:6]
+            pts = jnp.stack([
+                lo[0] + fx.astype(jnp.float32) / denom * (hi[0] - lo[0]),
+                lo[1] + fy.astype(jnp.float32) / denom * (hi[1] - lo[1]),
+                lo[2] + fz.astype(jnp.float32) / denom * (hi[2] - lo[2]),
+            ], axis=-1)
+            vals = dense_mod._decode_block(params, endpoints, embedding,
+                                           trans_mat, pts, cfg)
+            flat = (fz * fine_r + fy) * fine_r + fx
+            valid = slot < count
+            return vals, jnp.where(valid, flat, fine_r ** 3)
+
+        n_blocks = padded_fine // block
+        vals, flats = jax.lax.map(fine_block,
+                                  jnp.arange(n_blocks, dtype=jnp.int32))
+
+        # ---- boundary planes: fine indices R-1 in any axis are owned by no
+        # cell's stride^3 low-corner block; evaluate them exactly (3R^2 pts,
+        # ~1% of the grid) so the volume has no interpolated seams there.
+        n_plane = fine_r * fine_r
+        plane_total = -(-3 * n_plane // block) * block
+
+        def plane_block(i):
+            q = i * block + jnp.arange(block, dtype=jnp.int32)
+            plane = q // n_plane          # 0: z=R-1, 1: y=R-1, 2: x=R-1
+            r = q % n_plane
+            a = r // fine_r
+            b_ = r % fine_r
+            last = fine_r - 1
+            # plane 0 (z=last): fy=a, fx=b; plane 1 (y=last): fz=a, fx=b;
+            # plane 2 (x=last): fz=a, fy=b
+            fx = jnp.where(plane == 2, last, b_)
+            fy = jnp.where(plane == 0, a, jnp.where(plane == 1, last, b_))
+            fz = jnp.where(plane == 0, last, a)
+            denom = jnp.float32(fine_r - 1)
+            lo = sdf_params[0:3]
+            hi = sdf_params[3:6]
+            pts = jnp.stack([
+                lo[0] + fx.astype(jnp.float32) / denom * (hi[0] - lo[0]),
+                lo[1] + fy.astype(jnp.float32) / denom * (hi[1] - lo[1]),
+                lo[2] + fz.astype(jnp.float32) / denom * (hi[2] - lo[2]),
+            ], axis=-1)
+            v = dense_mod._decode_block(params, endpoints, embedding,
+                                        trans_mat, pts, cfg)
+            flat = (fz * fine_r + fy) * fine_r + fx
+            return v, jnp.where(q < 3 * n_plane, flat, fine_r ** 3)
+
+        pvals, pflats = jax.lax.map(
+            plane_block, jnp.arange(plane_total // block, dtype=jnp.int32))
+
+        # ---- fill: aligned upsample + scatter fine band -------------------
+        vol = _upsample_aligned(vol_c, stride).reshape(-1)
+        vol = vol.at[flats.reshape(-1)].set(vals.reshape(-1), mode="drop")
+        vol = vol.at[pflats.reshape(-1)].set(pvals.reshape(-1), mode="drop")
+        return vol.reshape(fine_r, fine_r, fine_r), count
+
+    return jax.jit(fn), cell_cap
+
+
+def sparse_dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
+                     sdf_params: np.ndarray, cfg: Config, stride: int = 4,
+                     block: int = 65536, cell_cap_frac: float = 0.25,
+                     band_factor: float = 1.5) -> np.ndarray:
+    """Host wrapper: sparse fast path with exact-dense fallback on overflow."""
+    fn, cap = make_sparse_dense_sdf_fn(cfg, stride=stride, block=block,
+                                       cell_cap_frac=cell_cap_frac,
+                                       band_factor=band_factor)
+    import jax.numpy as jnp  # noqa: F811
+    vol, count = fn(params, jnp.asarray(img), jnp.asarray(trans_mat),
+                    jnp.asarray(sdf_params))
+    if int(count) > cap:
+        return dense_mod.dense_sdf(params, img, trans_mat, sdf_params, cfg,
+                                   block=block)
+    return np.asarray(vol)

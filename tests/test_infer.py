@@ -93,3 +93,60 @@ def test_volume_to_mesh_roundtrip(setup):
     vol = synthetic.sdf_sphere(np.stack([xx, yy, zz], -1)).astype(np.float32)
     verts, faces = marching.extract_mesh(vol, SDF_PARAMS)
     assert np.abs(np.linalg.norm(verts, axis=1) - 0.6).max() < 2 / 32
+
+
+def test_sparse_matches_dense_near_surface(setup):
+    """Sparse two-level inference must agree with exact dense values inside
+    the active band (and in sign everywhere) so extracted meshes match."""
+    from disn_tpu.infer import sparse
+    cfg, params, img = setup
+    cfg = cfg.replace(sdf_res=16)
+    exact = dense.dense_sdf(params, img, TRANS, SDF_PARAMS, cfg, block=512)
+    vol = sparse.sparse_dense_sdf(params, img, TRANS, SDF_PARAMS, cfg,
+                                  stride=4, block=512)
+    assert vol.shape == exact.shape
+    # within the band around the iso-surface the values are the exact ones
+    band = np.abs(exact) < 0.5 * sparse_band(cfg)
+    np.testing.assert_allclose(vol[band], exact[band], rtol=1e-4, atol=1e-5)
+
+
+def sparse_band(cfg):
+    span = SDF_PARAMS[3:6] - SDF_PARAMS[0:3]
+    rc = cfg.sdf_res // 4 + 1
+    return 1.5 * float(np.linalg.norm(span / (rc - 1)))
+
+
+def test_sparse_analytic_sphere_mesh():
+    """End to end: a perfect-SDF 'network' (analytic sphere via the volume
+    fill path) -> sparse volume -> mesh must equal the dense-volume mesh."""
+    from disn_tpu.data import synthetic
+    from disn_tpu.infer import sparse as sparse_mod
+
+    R = 33
+    lin = np.linspace(-1, 1, R, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    exact = synthetic.sdf_sphere(np.stack([xx, yy, zz], -1)).astype(np.float32)
+
+    # drive the band/upsample machinery directly on the analytic volume:
+    import jax.numpy as jnp
+    coarse = exact[::4, ::4, ::4]
+    up = np.asarray(sparse_mod._upsample_aligned(jnp.asarray(coarse), 4))
+    assert up.shape == exact.shape
+    # aligned: coarse points exact
+    np.testing.assert_allclose(up[::4, ::4, ::4], coarse, atol=1e-6)
+    # sphere SDF is 1-Lipschitz so interpolation error < cell diag
+    assert np.abs(up - exact).max() < np.linalg.norm([2 / 8] * 3)
+
+    ids, count = sparse_mod._active_cells(
+        jnp.asarray(coarse), jnp.float32(1.5 * np.linalg.norm([2 / 8] * 3)),
+        max_cells=512)
+    count = int(count)
+    assert 0 < count <= 512
+    # every sign-change cell of the coarse grid is in the active list
+    c = coarse.shape[0] - 1
+    corners = np.stack([coarse[dz:dz + c, dy:dy + c, dx:dx + c]
+                        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)])
+    sign_change = (corners < 0).any(0) & (corners >= 0).any(0)
+    want = set(np.nonzero(sign_change.reshape(-1))[0].tolist())
+    got = set(np.asarray(ids[:count]).tolist())
+    assert want <= got
