@@ -36,7 +36,10 @@ def main() -> None:
     from disn_tpu.models import disn
 
     if on_tpu:
-        cfg = Config(sdf_res=256, compute_dtype="bfloat16")
+        # production defaults: bf16 compute, 4-tap native sampling (the
+        # tf1-exact 16-tap mode is for checkpoint-parity validation)
+        cfg = Config(sdf_res=256, compute_dtype="bfloat16",
+                     sampling="native")
         block = 131072
         reps = 3
     else:  # CPU smoke fallback so the bench always emits a line
