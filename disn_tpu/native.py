@@ -1,0 +1,69 @@
+"""ctypes bindings for the native C++ tools (native/).
+
+Replaces the reference's shell-outs to prebuilt Vega binaries
+(preprocessing/create_point_sdf_grid.py:200-210) with an in-process call. The
+shared library is built on demand with make (g++ is in the image).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdistfield.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH)
+                < os.path.getmtime(os.path.join(_NATIVE_DIR, "distfield.cpp"))):
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libdistfield.so"],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.compute_distance_field.restype = ctypes.c_int
+        lib.compute_distance_field.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        _lib = lib
+        return lib
+
+
+def compute_distance_field(verts: np.ndarray, faces: np.ndarray, res: int,
+                           bbox: np.ndarray, sign_votes: int = 3,
+                           threads: int = 0) -> np.ndarray:
+    """Signed distance field on a (res+1)^3 grid (z,y,x indexed, x fastest).
+
+    verts [V,3] float32, faces [F,3] int32, bbox [6] (x0 y0 z0 x1 y1 z1).
+    """
+    lib = _load()
+    verts = np.ascontiguousarray(verts, dtype=np.float32)
+    faces = np.ascontiguousarray(faces, dtype=np.int32)
+    bbox = np.ascontiguousarray(bbox, dtype=np.float64)
+    out = np.empty(((res + 1) ** 3,), dtype=np.float32)
+    rc = lib.compute_distance_field(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        np.int32(len(verts)),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.int32(len(faces)), np.int32(res),
+        bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        np.int32(sign_votes), np.int32(threads))
+    if rc:
+        raise RuntimeError(f"compute_distance_field failed (rc={rc})")
+    return out.reshape(res + 1, res + 1, res + 1)

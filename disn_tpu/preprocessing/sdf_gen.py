@@ -1,0 +1,144 @@
+"""Offline SDF ground-truth generation (re-imagining
+preprocessing/create_point_sdf_grid.py + create_point_sdf_fullgrid.py).
+
+Per mesh: normalize to the unit sphere (surface-sample -> centroid + max
+radius m, get_normalize_mesh :169-198), compute a signed distance grid with
+the NATIVE BVH tool (native/distfield.cpp — replaces the closed-source Vega
+binary), stratified-sample query points in 4 bands inside +-bandwidth with
+25% quotas and next-band spill-over (sample_sdf :74-113), detect inside-out
+meshes for car/plane/watercraft via the center-voxel sign
+(check_insideout :115-137), and write `ori_sample.h5` plus the ground-truth
+marching-cube mesh used by the evaluators.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from disn_tpu import native
+from disn_tpu.config import INSIDEOUT_CATS
+from disn_tpu.core import codecs
+from disn_tpu.ops import marching
+
+
+def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
+                   rng: np.random.RandomState) -> np.ndarray:
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    p = areas / max(areas.sum(), 1e-12)
+    fi = rng.choice(len(faces), size=n, p=p)
+    r1 = np.sqrt(rng.rand(n, 1))
+    r2 = rng.rand(n, 1)
+    return ((1 - r1) * v0[fi] + r1 * (1 - r2) * v1[fi] + r1 * r2 * v2[fi]
+            ).astype(np.float32)
+
+
+def normalize_mesh(verts: np.ndarray, faces: np.ndarray,
+                   n_surface: int = 16384, seed: int = 0
+                   ) -> tuple[np.ndarray, np.ndarray, float, np.ndarray]:
+    """Unit-sphere normalization (get_normalize_mesh,
+    create_point_sdf_grid.py:169-198): centroid and max radius m estimated
+    from 16384 surface samples. Returns (normalized verts, centroid, m,
+    surface samples in normalized coords)."""
+    rng = np.random.RandomState(seed)
+    surf = sample_surface(verts, faces, n_surface, rng)
+    centroid = surf.mean(axis=0)
+    m = float(np.sqrt(((surf - centroid) ** 2).sum(axis=1)).max())
+    normalized = (verts - centroid) / m
+    return normalized.astype(np.float32), centroid.astype(np.float32), m, \
+        ((surf - centroid) / m).astype(np.float32)
+
+
+def stratified_sample_grid(sdf_values: np.ndarray, sdf_params: np.ndarray,
+                           num_sample: int, bandwidth: float, iso_val: float,
+                           rng: np.random.RandomState) -> np.ndarray:
+    """[N,4] (x,y,z,sdf) samples from the grid, 4 bands inside +-bandwidth of
+    iso with 25% quotas and next-band spill-over, sampled WITH replacement
+    (sample_sdf, create_point_sdf_grid.py:74-113)."""
+    res1 = sdf_values.shape[0]
+    flat = sdf_values.reshape(-1)
+    axes = [np.linspace(sdf_params[i], sdf_params[i + 3], res1)
+            .astype(np.float32) for i in range(3)]
+    dis = flat - iso_val
+    bands = [(-bandwidth, -0.3 * bandwidth), (-0.3 * bandwidth, 0.0),
+             (0.0, 0.3 * bandwidth), (0.3 * bandwidth, bandwidth)]
+    quotas = [num_sample // 4] * 4
+    out = []
+    for i, (lo, hi) in enumerate(bands):
+        ind = np.nonzero((dis >= lo) & (dis < hi))[0]
+        if len(ind) < quotas[i]:
+            if i + 1 < 4:
+                quotas[i + 1] += quotas[i] - len(ind)
+            quotas[i] = len(ind)
+        if len(ind) == 0:
+            continue
+        pick = ind[rng.randint(len(ind), size=quotas[i])]
+        xi = pick % res1
+        yi = (pick // res1) % res1
+        zi = pick // res1 ** 2
+        out.append(np.stack([axes[0][xi], axes[1][yi], axes[2][zi],
+                             flat[pick]], axis=1))
+    return np.concatenate(out, axis=0).astype(np.float32)
+
+
+def check_insideout(cat_id: str, sdf_values: np.ndarray) -> bool:
+    """Center-voxel sign test for categories whose meshes are often inverted
+    (check_insideout, create_point_sdf_grid.py:115-137)."""
+    if cat_id not in INSIDEOUT_CATS:
+        return False
+    c = sdf_values.shape[0] // 2
+    return bool(sdf_values[c, c, c] > 0.0)
+
+
+def generate_object(verts: np.ndarray, faces: np.ndarray, out_dir: str,
+                    cat_id: str = "", sdf_res: int = 256,
+                    expand_rate: float = 1.2, num_sample: int = 32768,
+                    bandwidth: float = 0.1, iso_val: float = 0.003,
+                    full_grid_reduce: int = 0, seed: int = 0,
+                    skip_existing: bool = True) -> dict:
+    """Full per-object pipeline -> {out_dir}/ori_sample.h5 (+ isosurf.obj GT
+    mesh). With full_grid_reduce > 0 also writes the regular-subgrid variant
+    used by the 3D-CNN baseline (create_point_sdf_fullgrid.py:70-150):
+    every reduce-th grid point, values only."""
+    os.makedirs(out_dir, exist_ok=True)
+    h5_path = os.path.join(out_dir, "ori_sample.h5")
+    flag = os.path.join(out_dir, "isinsideout.txt")
+    if skip_existing and os.path.exists(h5_path):
+        return {"h5": h5_path, "skipped": True}
+    rng = np.random.RandomState(seed)
+
+    norm_verts, centroid, m, surf = normalize_mesh(verts, faces, seed=seed)
+    half = float(np.abs(norm_verts).max() * expand_rate)
+    bbox = np.array([-half] * 3 + [half] * 3, np.float64)
+    vol = native.compute_distance_field(norm_verts, faces, sdf_res, bbox)
+
+    if check_insideout(cat_id, vol):
+        # inverted mesh: flip the field and mark it (reference writes a flag
+        # file and skips, :146-150; we flip and continue, recording the fix)
+        vol = -vol
+        with open(flag, "w") as f:
+            f.write("flipped\n")
+
+    sdf_params = bbox.astype(np.float32)
+    samples = stratified_sample_grid(vol, sdf_params, num_sample, bandwidth,
+                                     iso_val, rng)
+    codecs.write_sdf_h5(h5_path, samples,
+                        norm_params=np.concatenate(
+                            [centroid, [np.float32(m)]]).astype(np.float32),
+                        sdf_params=sdf_params, ori_pt=surf)
+    # GT marching-cube mesh at iso_val (create_one_cube_obj :248-252)
+    mc_verts, mc_faces = marching.extract_mesh(vol, sdf_params, iso=iso_val)
+    codecs.write_obj(os.path.join(out_dir, "isosurf.obj"), mc_verts, mc_faces)
+
+    out = {"h5": h5_path, "skipped": False, "num_samples": len(samples)}
+    if full_grid_reduce:
+        sub = vol[::full_grid_reduce, ::full_grid_reduce, ::full_grid_reduce]
+        codecs.write_sdf_h5(
+            os.path.join(out_dir, "ori_sample_grid.h5"),
+            sub.reshape(-1, 1),
+            norm_params=np.concatenate(
+                [centroid, [np.float32(m)]]).astype(np.float32),
+            sdf_params=sdf_params, ori_pt=surf)
+        out["full_grid"] = sub.shape[0]
+    return out

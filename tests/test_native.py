@@ -1,0 +1,77 @@
+"""Native distance-field generator tests: analytic oracles on meshes
+extracted from known SDFs, sign correctness, CLI byte-format round trip."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from disn_tpu import native
+from disn_tpu.core import codecs
+from disn_tpu.data import synthetic
+from disn_tpu.ops import marching
+
+PARAMS = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh():
+    R = 65
+    lin = np.linspace(-1, 1, R, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    vol = synthetic.sdf_sphere(np.stack([xx, yy, zz], -1)).astype(np.float32)
+    return marching.extract_mesh(vol, PARAMS)
+
+
+def test_distance_field_sphere(sphere_mesh):
+    verts, faces = sphere_mesh
+    res = 32
+    bbox = np.array([-1, -1, -1, 1, 1, 1], np.float64)
+    vol = native.compute_distance_field(verts, faces, res, bbox)
+    assert vol.shape == (33, 33, 33)
+    lin = np.linspace(-1, 1, 33, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    want = synthetic.sdf_sphere(np.stack([xx, yy, zz], -1))
+    # mesh is a 64-cell discretization of the sphere: tolerance ~ mesh error
+    assert np.abs(vol - want).max() < 0.06
+    # signs exactly right away from the surface
+    far = np.abs(want) > 0.08
+    assert (np.sign(vol[far]) == np.sign(want[far])).all()
+
+
+def test_distance_field_box():
+    R = 49
+    lin = np.linspace(-1, 1, R, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    vol = synthetic.sdf_box(np.stack([xx, yy, zz], -1)).astype(np.float32)
+    verts, faces = marching.extract_mesh(vol, PARAMS)
+    out = native.compute_distance_field(
+        verts, faces, 24, np.array([-1, -1, -1, 1, 1, 1], np.float64))
+    lin2 = np.linspace(-1, 1, 25, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(lin2, lin2, lin2, indexing="ij")
+    want = synthetic.sdf_box(np.stack([xx, yy, zz], -1))
+    # outside the box the true distance >= our sampled sdf; inside, the
+    # analytic box "sdf" underestimates distance at edges — compare where
+    # both are exact (faces region)
+    err = np.abs(out - want)
+    assert np.median(err) < 0.03
+    far = np.abs(want) > 0.1
+    assert (np.sign(out[far]) == np.sign(want[far])).mean() > 0.999
+
+
+def test_cli_dist_format(sphere_mesh, tmp_path):
+    verts, faces = sphere_mesh
+    obj = str(tmp_path / "m.obj")
+    codecs.write_obj(obj, verts, faces)
+    exe = os.path.join(os.path.dirname(native._NATIVE_DIR), "native",
+                       "distfield")
+    subprocess.run(["make", "-C", native._NATIVE_DIR, "distfield"],
+                   check=True, capture_output=True)
+    out = str(tmp_path / "m.dist")
+    subprocess.run([exe, obj, "16", "1.2", out], check=True)
+    df = codecs.read_dist(out, expect_res=16)
+    assert df.values.shape == (17, 17, 17)
+    # center of the sphere is inside
+    assert df.values[8, 8, 8] < 0
+    # corners outside
+    assert df.values[0, 0, 0] > 0
