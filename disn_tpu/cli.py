@@ -1,0 +1,508 @@
+"""Unified command-line interface.
+
+The reference exposes one ad-hoc argparse script per task (train/train_sdf.py,
+cam_est/train_sdf_cam.py, test/create_sdf.py, demo/demo.py, test/test_cd_emd
+/ test_f_score / test_iou / test_sdf_acc, preprocessing/*, postprocessing/*).
+Here the same surface is one typed-config CLI:
+
+    python -m disn_tpu train          # SDF training (train_sdf.py)
+    python -m disn_tpu train-cam      # camera training (+--test / --create)
+    python -m disn_tpu create-sdf     # test-split reconstruction (create_sdf)
+    python -m disn_tpu demo           # single image -> mesh (demo/demo.py)
+    python -m disn_tpu evaluate       # cd/emd/f-score/iou/acc evaluators
+    python -m disn_tpu preprocess-sdf # mesh -> SDF h5 (create_point_sdf_grid)
+    python -m disn_tpu preprocess-img # renders -> view h5 (create_img_h5)
+    python -m disn_tpu clean          # small-part mesh cleaning
+    python -m disn_tpu synth          # build the synthetic fixture dataset
+
+Every subcommand accepts --set key=value overrides of the typed Config
+(disn_tpu/config.py), replacing the reference's ~40 flags per script.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+from disn_tpu.config import CATS, Config, Variant
+
+
+# --------------------------------------------------------------------------
+# config plumbing
+# --------------------------------------------------------------------------
+
+def _coerce(field_type: Any, raw: str) -> Any:
+    if field_type is bool or field_type == "bool":
+        return raw.lower() in ("1", "true", "yes")
+    if field_type is Variant:
+        return Variant(raw)
+    try:
+        return field_type(raw)
+    except Exception:
+        return raw
+
+
+def apply_overrides(cfg: Config, pairs: list[str]) -> Config:
+    fields = {f.name: f.type for f in dataclasses.fields(Config)}
+    kw = {}
+    for pair in pairs or []:
+        key, _, val = pair.partition("=")
+        if key not in fields:
+            raise SystemExit(f"unknown config key: {key}")
+        current = getattr(cfg, key)
+        kw[key] = _coerce(type(current), val)
+    return cfg.replace(**kw)
+
+
+def common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="override a Config field")
+    p.add_argument("--log-dir", default="runs/default")
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (cpu/tpu)")
+
+
+def setup_jax(args) -> None:
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/disn_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def data_handles(cfg: Config, data_root: str, split: str, cam_est: bool = False):
+    from disn_tpu.data import listing
+    lst_dir = os.path.join(data_root, "filelists")
+    renders = os.path.join(
+        data_root, "renders_camest" if cam_est else "renders")
+    cats = dict(CATS)
+    # include any synthetic categories present in the filelists dir
+    for f in glob.glob(os.path.join(lst_dir, f"*_{split}.lst")):
+        cat = os.path.basename(f).rsplit("_", 1)[0]
+        if cat not in cats.values():
+            cats[cat] = cat
+    listinfo, cats_limit = listing.load_split(lst_dir, cats, split,
+                                              view_num=cfg.view_num)
+    paths = listing.SplitPaths(os.path.join(data_root, "sdf"), renders)
+    return listinfo, cats_limit, paths
+
+
+# --------------------------------------------------------------------------
+# subcommands
+# --------------------------------------------------------------------------
+
+def cmd_train(args) -> None:
+    setup_jax(args)
+    import jax
+    from disn_tpu.data import pipeline
+    from disn_tpu.models import disn
+    from disn_tpu.parallel import batch_sharding
+    from disn_tpu.parallel.mesh import fitting_mesh
+    from disn_tpu.train import (checkpoint, create_state, make_train_step)
+    from disn_tpu.train.trainer import make_eval_step
+    from disn_tpu.utils import MetricLogger, Timer
+
+    cfg = apply_overrides(Config(), args.set)
+    logger = MetricLogger(args.log_dir)
+    logger.log(f"config: {cfg.to_json()}")
+    cfg.save(os.path.join(args.log_dir, "config.json"))
+
+    listinfo, cats_limit, paths = data_handles(cfg, args.data_root, "train")
+    mesh = fitting_mesh(cfg.batch_size)
+    loader = pipeline.make_loader(cfg, paths, listinfo, cats_limit,
+                                  epochs=args.epochs,
+                                  sharding=batch_sharding(mesh, 1),
+                                  workers=args.workers, seed=args.seed)
+    state = create_state(cfg, jax.random.PRNGKey(args.seed))
+    if args.restore:
+        donor = checkpoint.restore_params(args.restore)
+        merged, skipped = checkpoint.merge_scopes(
+            jax.tree_util.tree_map(np.asarray, state.params),
+            donor.get("params", donor))
+        logger.log(f"restored {args.restore}; skipped {len(skipped)} leaves")
+        state = state.replace(params=jax.device_put(merged))
+    if args.restore_cnn:
+        donor = checkpoint.restore_params(args.restore_cnn)
+        merged, skipped = checkpoint.merge_scopes(
+            jax.tree_util.tree_map(np.asarray, state.params),
+            donor.get("params", donor), scopes=("vgg_16",),
+            skip_substr=("fc8",))
+        logger.log(f"encoder init from {args.restore_cnn}; "
+                   f"skipped {len(skipped)}")
+        state = state.replace(params=jax.device_put(merged))
+
+    step_fn = make_train_step(cfg)
+    mgr = checkpoint.CheckpointManager(args.log_dir, period=10)
+    timer = Timer()
+    loader.start()
+    bpe = loader.batches_per_epoch
+    acc_sum, acc_n = 0.0, 0
+    for i, batch in enumerate(loader):
+        with timer.phase("step"):
+            state, losses = step_fn(state, batch)
+        acc_sum += float(losses["accuracy"])
+        acc_n += 1
+        if i % args.log_every == 0:
+            logger.metrics(i, losses)
+            logger.log(timer.summary())
+        if (i + 1) % bpe == 0:
+            epoch = (i + 1) // bpe
+            params_host = jax.tree_util.tree_map(np.asarray, state.params)
+            mgr.save_epoch({"params": params_host}, epoch,
+                           metric=acc_sum / max(acc_n, 1))
+            mgr.save_latest({"params": params_host,
+                             "opt_state": jax.tree_util.tree_map(
+                                 np.asarray, state.opt_state),
+                             "step": np.asarray(state.step)}, int(state.step))
+            logger.log(f"epoch {epoch} done; acc {acc_sum / max(acc_n, 1):.4f}")
+            acc_sum, acc_n = 0.0, 0
+    loader.shutdown()
+    logger.close()
+
+
+def cmd_train_cam(args) -> None:
+    setup_jax(args)
+    import jax
+    from disn_tpu.data import pipeline
+    from disn_tpu.models import posenet
+    from disn_tpu.parallel import batch_sharding
+    from disn_tpu.parallel.mesh import fitting_mesh
+    from disn_tpu.train import checkpoint, create_state, make_cam_train_step
+    from disn_tpu.utils import MetricLogger
+
+    cfg = apply_overrides(Config(), args.set)
+    logger = MetricLogger(args.log_dir, name="cam")
+    listinfo, cats_limit, paths = data_handles(cfg, args.data_root, "train")
+    state = create_state(cfg, jax.random.PRNGKey(args.seed),
+                         init_fn=posenet.init)
+    if args.restore:
+        donor = checkpoint.restore_params(args.restore)
+        merged, _ = checkpoint.merge_scopes(
+            jax.tree_util.tree_map(np.asarray, state.params),
+            donor.get("params", donor))
+        state = state.replace(params=jax.device_put(merged))
+
+    if args.mode == "create":
+        _cam_create_h5(args, cfg, state.params, logger)
+        return
+    if args.mode == "test":
+        _cam_eval(args, cfg, state.params, logger)
+        return
+
+    mesh = fitting_mesh(cfg.batch_size)
+    loader = pipeline.make_loader(cfg, paths, listinfo, cats_limit,
+                                  epochs=args.epochs,
+                                  sharding=batch_sharding(mesh, 1),
+                                  workers=args.workers, seed=args.seed)
+    step_fn = make_cam_train_step(cfg)
+    mgr = checkpoint.CheckpointManager(args.log_dir, period=10)
+    loader.start()
+    for i, batch in enumerate(loader):
+        cam_batch = {"img": batch["img"][..., :3],
+                     "sample_pc": batch["sdf_pt"],
+                     "RT": batch["regress_mat"],
+                     "trans_mat": batch["trans_mat"]}
+        state, losses = step_fn(state, cam_batch)
+        if i % args.log_every == 0:
+            logger.metrics(i, losses)
+        if i % 1000 == 999:  # latest.ckpt cadence (train_sdf_cam.py:418-421)
+            mgr.save_latest({"params": jax.tree_util.tree_map(
+                np.asarray, state.params)}, int(state.step))
+    loader.shutdown()
+    logger.close()
+
+
+def _cam_batches(args, cfg):
+    from disn_tpu.core import codecs
+    listinfo, _, paths = data_handles(cfg, args.data_root, args.split)
+    for cat_id, obj, view in listinfo:
+        rec = codecs.read_view_h5(paths.img_path(cat_id, obj, view))
+        yield (cat_id, obj, view), rec, paths
+
+
+def _cam_eval(args, cfg, params, logger) -> None:
+    import jax.numpy as jnp
+    from disn_tpu.core import camera
+    from disn_tpu.models import posenet
+
+    import jax
+    apply_fn = jax.jit(lambda p, img: posenet.apply(p, img, cfg))
+    d2, d3, n = 0.0, 0.0, 0
+    for (cat_id, obj, view), rec, paths in _cam_batches(args, cfg):
+        img = rec.img_arr[:, :, :3].astype(np.float32)[None] / 255.0
+        out = apply_fn(params, jnp.asarray(img))
+        pred = np.asarray(out["pred_trans_mat"])[0]
+        # projected-pixel distance on a probe grid (model_cam.py:157-161)
+        probe = np.random.RandomState(0).uniform(-0.5, 0.5, (1, 256, 3)
+                                                 ).astype(np.float32)
+        gt_px = np.asarray(camera.project_points(
+            jnp.asarray(probe), jnp.asarray(rec.trans_mat[None])))
+        pr_px = np.asarray(camera.project_points(
+            jnp.asarray(probe), jnp.asarray(pred[None])))
+        d2 += float(np.linalg.norm(gt_px - pr_px, axis=-1).mean())
+        d3 += float(np.abs(pred - rec.trans_mat).mean())
+        n += 1
+    logger.log(f"cam eval over {n} views: 2d px dist {d2 / n:.3f}, "
+               f"matrix L1 {d3 / n:.5f}")
+
+
+def _cam_create_h5(args, cfg, params, logger) -> None:
+    """--create: rewrite the view-h5 tree with predicted trans_mat
+    (train_sdf_cam.py:568-612) -> renders_camest/."""
+    import jax
+    import jax.numpy as jnp
+    from disn_tpu.core import codecs
+    from disn_tpu.models import posenet
+
+    apply_fn = jax.jit(lambda p, img: posenet.apply(p, img, cfg))
+    out_root = os.path.join(args.data_root, "renders_camest")
+    n = 0
+    for (cat_id, obj, view), rec, paths in _cam_batches(args, cfg):
+        img = rec.img_arr[:, :, :3].astype(np.float32)[None] / 255.0
+        out = apply_fn(params, jnp.asarray(img))
+        pred = np.asarray(out["pred_trans_mat"])[0].astype(np.float32)
+        new_rec = codecs.ViewRecord(
+            img_arr=rec.img_arr, trans_mat=pred, K=rec.K, RT=rec.RT,
+            obj_rot_mat=rec.obj_rot_mat, regress_mat=rec.regress_mat)
+        codecs.write_view_h5(
+            os.path.join(out_root, cat_id, obj, f"{view:02d}.h5"), new_rec)
+        n += 1
+    logger.log(f"wrote {n} estimated-camera view h5s to {out_root}")
+
+
+def cmd_create_sdf(args) -> None:
+    setup_jax(args)
+    from disn_tpu.infer import pipeline as infer_pipeline
+    from disn_tpu.train import checkpoint
+    from disn_tpu.utils import MetricLogger
+
+    cfg = apply_overrides(Config(), args.set)
+    logger = MetricLogger(args.log_dir, name="test")
+    listinfo, _, paths = data_handles(cfg, args.data_root, args.split,
+                                      cam_est=args.cam_est)
+    donor = checkpoint.restore_params(args.restore)
+    params = donor.get("params", donor)
+    written = infer_pipeline.reconstruct_split(
+        params, cfg, paths, listinfo, args.log_dir, cam_est=args.cam_est,
+        sparse=not args.dense, logger=logger)
+    logger.log(f"wrote {len(written)} meshes")
+    logger.close()
+
+
+def cmd_demo(args) -> None:
+    setup_jax(args)
+    from disn_tpu.core import codecs
+    from disn_tpu.infer import pipeline as infer_pipeline
+    from disn_tpu.train import checkpoint
+    from disn_tpu.utils import MetricLogger
+
+    cfg = apply_overrides(Config(), args.set)
+    logger = MetricLogger(None)
+    if args.image.endswith(".h5"):
+        rec = codecs.read_view_h5(args.image)
+        img = rec.img_arr[:, :, :cfg.img_channels].astype(np.float32) / 255.0
+        trans = rec.trans_mat
+    else:
+        from PIL import Image
+        arr = np.asarray(Image.open(args.image).convert(
+            "RGBA" if cfg.alpha else "RGB"), np.float32) / 255.0
+        img = arr
+        trans = None
+    if args.cam_est or trans is None:
+        import jax
+        import jax.numpy as jnp
+        from disn_tpu.models import posenet
+        cam_donor = checkpoint.restore_params(args.cam_restore)
+        cam_params = cam_donor.get("params", cam_donor)
+        out = posenet.apply(cam_params, jnp.asarray(img[None, :, :, :3]), cfg)
+        trans = np.asarray(out["pred_trans_mat"])[0]
+        logger.log("camera estimated by posenet")
+    donor = checkpoint.restore_params(args.restore)
+    params = donor.get("params", donor)
+    verts, faces = infer_pipeline.image_to_mesh(
+        params, img, trans, cfg, sparse=not args.dense, clean=args.clean)
+    codecs.write_obj(args.out, verts, faces)
+    logger.log(f"wrote {args.out}: {len(verts)} verts, {len(faces)} faces")
+
+
+def cmd_evaluate(args) -> None:
+    setup_jax(args)
+    from disn_tpu.eval import runner
+    results = runner.evaluate_tree(
+        pred_dir=args.pred_dir, gt_dir=args.gt_dir,
+        lst_dir=os.path.join(args.data_root, "filelists"),
+        split=args.split, metrics=args.metrics.split(","),
+        num_points=args.num_points, view_num=args.view_num,
+        dim=args.dim)
+    print(json.dumps(results, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+def cmd_preprocess_sdf(args) -> None:
+    from concurrent.futures import ProcessPoolExecutor
+    from disn_tpu.core import codecs
+    from disn_tpu.preprocessing import sdf_gen
+
+    jobs = []
+    for obj_path in sorted(glob.glob(args.pattern)):
+        rel = os.path.splitext(os.path.basename(obj_path))[0]
+        out_dir = os.path.join(args.out_dir, rel)
+        jobs.append((obj_path, out_dir))
+
+    def run(job):
+        obj_path, out_dir = job
+        verts, faces = codecs.read_obj(obj_path)
+        return sdf_gen.generate_object(
+            verts, faces, out_dir, cat_id=args.cat_id, sdf_res=args.res,
+            num_sample=args.num_sample)
+
+    if args.jobs > 1:
+        with ProcessPoolExecutor(args.jobs) as pool:
+            for r in pool.map(run, jobs):
+                print(r)
+    else:
+        for job in jobs:
+            print(run(job))
+
+
+def cmd_preprocess_img(args) -> None:
+    from PIL import Image
+    from disn_tpu.core import codecs
+    from disn_tpu.preprocessing import img_gen
+
+    meta = img_gen.parse_render_metadata(args.metadata)
+    images = []
+    for p in sorted(glob.glob(args.pattern)):
+        images.append(np.asarray(Image.open(p).convert("RGBA"), np.uint8))
+    sdf = codecs.read_sdf_h5(args.sdf_h5)
+    paths = img_gen.generate_object_views(images, meta, sdf.norm_params,
+                                          args.out_dir)
+    print(f"wrote {len(paths)} view h5s")
+
+
+def cmd_clean(args) -> None:
+    from disn_tpu.postprocessing import clean_mesh_file
+    for src in sorted(glob.glob(args.pattern)):
+        dst = src if args.in_place else src.replace(".obj", "_clean.obj")
+        clean_mesh_file(src, dst, vert_ratio=args.vert_ratio,
+                        center_dist=args.center_dist)
+        print(f"cleaned {src} -> {dst}")
+
+
+def cmd_synth(args) -> None:
+    from disn_tpu.data import synthetic
+    info = synthetic.build_dataset(args.out_dir, views=args.views,
+                                   num_samples=args.num_samples,
+                                   grid_res=args.grid_res)
+    print(json.dumps({k: v for k, v in info.items()
+                      if isinstance(v, (str, int))}, indent=2))
+
+
+# --------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser("disn_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="SDF training")
+    common_args(p)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--restore", default=None)
+    p.add_argument("--restore-cnn", default=None,
+                   help="encoder-only init (skips fc8), like --restore_modelcnn")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("train-cam", help="camera pose training / eval / h5")
+    common_args(p)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--mode", choices=["train", "test", "create"],
+                   default="train")
+    p.add_argument("--split", default="test")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--restore", default=None)
+    p.set_defaults(fn=cmd_train_cam)
+
+    p = sub.add_parser("create-sdf", help="test-split reconstruction")
+    common_args(p)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--restore", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--cam-est", action="store_true")
+    p.add_argument("--dense", action="store_true",
+                   help="exact dense path (default: sparse two-level)")
+    p.set_defaults(fn=cmd_create_sdf)
+
+    p = sub.add_parser("demo", help="single image -> mesh")
+    common_args(p)
+    p.add_argument("--image", required=True, help="png or view h5")
+    p.add_argument("--restore", required=True)
+    p.add_argument("--cam-est", action="store_true")
+    p.add_argument("--cam-restore", default=None)
+    p.add_argument("--dense", action="store_true")
+    p.add_argument("--clean", action="store_true")
+    p.add_argument("--out", default="result.obj")
+    p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("evaluate", help="cd/emd/f-score/iou over a result tree")
+    common_args(p)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--pred-dir", required=True)
+    p.add_argument("--gt-dir", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--metrics", default="cd,emd,fscore,iou")
+    p.add_argument("--num-points", type=int, default=2048)
+    p.add_argument("--view-num", type=int, default=24)
+    p.add_argument("--dim", type=int, default=110)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("preprocess-sdf")
+    p.add_argument("--pattern", required=True, help="glob of input .obj files")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--cat-id", default="")
+    p.add_argument("--res", type=int, default=256)
+    p.add_argument("--num-sample", type=int, default=32768)
+    p.add_argument("--jobs", type=int, default=1)
+    p.set_defaults(fn=cmd_preprocess_sdf)
+
+    p = sub.add_parser("preprocess-img")
+    p.add_argument("--pattern", required=True, help="glob of view pngs")
+    p.add_argument("--metadata", required=True)
+    p.add_argument("--sdf-h5", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.set_defaults(fn=cmd_preprocess_img)
+
+    p = sub.add_parser("clean")
+    p.add_argument("--pattern", required=True)
+    p.add_argument("--in-place", action="store_true")
+    p.add_argument("--vert-ratio", type=float, default=0.3)
+    p.add_argument("--center-dist", type=float, default=0.5)
+    p.set_defaults(fn=cmd_clean)
+
+    p = sub.add_parser("synth")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--views", type=int, default=4)
+    p.add_argument("--num-samples", type=int, default=8192)
+    p.add_argument("--grid-res", type=int, default=32)
+    p.set_defaults(fn=cmd_synth)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)

@@ -1,0 +1,101 @@
+"""Image -> mesh reconstruction pipeline (re-imagining test/create_sdf.py and
+demo/demo.py).
+
+One call runs: encode image -> dense or sparse SDF volume (infer/dense.py,
+infer/sparse.py) -> on-device marching tetrahedra (ops/marching.py) ->
+optional small-part cleaning -> OBJ. The reference's output tree is kept:
+LOG_DIR/test_objs/[camest_]{res+1}_{iso}/{cat_id}/{cat_id}_{obj}_{view}.obj
+(test/create_sdf.py:88-95, 305-314). Mesh extraction runs on device; OBJ
+writing is async on a host thread pool like the reference's
+ThreadPoolExecutor(4) (:238, 286-289).
+"""
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
+import numpy as np
+
+from disn_tpu.config import Config
+from disn_tpu.core import codecs
+from disn_tpu.infer import dense as dense_mod
+from disn_tpu.infer import sparse as sparse_mod
+from disn_tpu.ops import marching
+from disn_tpu.postprocessing import clean_small_parts
+
+Params = dict[str, Any]
+
+
+def predict_volume(params: Params, img: np.ndarray, trans_mat: np.ndarray,
+                   sdf_params: np.ndarray, cfg: Config, sparse: bool = True,
+                   block: int = 65536, mesh: Any = None) -> np.ndarray:
+    if img.ndim == 3:
+        img = img[None]
+    if sparse and cfg.sdf_res % 4 == 0:
+        return sparse_mod.sparse_dense_sdf(params, img, trans_mat, sdf_params,
+                                           cfg, block=block)
+    return dense_mod.dense_sdf(params, img, trans_mat, sdf_params, cfg,
+                               block=block, mesh=mesh)
+
+
+def volume_to_mesh(vol: np.ndarray, sdf_params: np.ndarray, iso: float = 0.0,
+                   clean: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    verts, faces = marching.extract_mesh(vol, sdf_params, iso=iso)
+    if clean and len(faces):
+        verts, faces = clean_small_parts(verts, faces)
+    return verts, faces
+
+
+def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,
+                  cfg: Config, sdf_params: np.ndarray | None = None,
+                  iso: float | None = None, sparse: bool = True,
+                  clean: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Single image (float [H,W,3|4] in [0,1]) -> (vertices, faces).
+
+    sdf_params defaults to the demo's unit box [-1,1]^3 (demo/demo.py:278)."""
+    if sdf_params is None:
+        sdf_params = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    iso = cfg.iso if iso is None else iso
+    vol = predict_volume(params, img, trans_mat, sdf_params, cfg,
+                         sparse=sparse)
+    return volume_to_mesh(vol, sdf_params, iso=iso, clean=clean)
+
+
+def result_dir(log_dir: str, cfg: Config, cam_est: bool = False) -> str:
+    tag = f"{cfg.grid_resolution}_{cfg.iso}"
+    if cam_est:
+        tag = "camest_" + tag
+    return os.path.join(log_dir, "test_objs", tag)
+
+
+def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
+                      log_dir: str, cam_est: bool = False,
+                      sparse: bool = True, logger: Any = None,
+                      writers: int = 4) -> list[str]:
+    """create_sdf.py equivalent: reconstruct every (cat, obj, view) of a
+    split into the reference's output tree. Returns written OBJ paths."""
+    out_root = result_dir(log_dir, cfg, cam_est)
+    pool = ThreadPoolExecutor(writers)
+    futures = []
+    written = []
+    for cat_id, obj, view in listinfo:
+        rec = codecs.read_view_h5(paths.img_path(cat_id, obj, view))
+        img = rec.img_arr[:, :, :cfg.img_channels].astype(np.float32) / 255.0
+        sdf = codecs.read_sdf_h5(paths.sdf_path(cat_id, obj))
+        vol = predict_volume(params, img, rec.trans_mat, sdf.sdf_params, cfg,
+                             sparse=sparse)
+        out = os.path.join(out_root, cat_id, f"{cat_id}_{obj}_{view}.obj")
+        written.append(out)
+
+        def write(vol=vol, sdf_params=sdf.sdf_params, out=out):
+            verts, faces = volume_to_mesh(vol, sdf_params, iso=cfg.iso)
+            codecs.write_obj(out, verts, faces)
+
+        futures.append(pool.submit(write))
+        if logger:
+            logger.log(f"reconstructed {cat_id}/{obj}/{view}")
+    for f in futures:
+        f.result()
+    pool.shutdown()
+    return written

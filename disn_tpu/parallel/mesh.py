@@ -38,6 +38,15 @@ def make_mesh(data: int | None = None, points: int = 1,
     return Mesh(devices.reshape(data, points), (DATA_AXIS, POINT_AXIS))
 
 
+def fitting_mesh(batch_size: int, devices: Any = None) -> Mesh:
+    """Largest data-parallel mesh whose size divides the batch (a batch of 2
+    on an 8-device host trains on 2 devices rather than failing to shard)."""
+    import math
+    devices = list(devices if devices is not None else jax.devices())
+    n = math.gcd(batch_size, len(devices))
+    return make_mesh(data=n, points=1, devices=devices[:n])
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -1,0 +1,116 @@
+"""End-to-end CLI test on the synthetic fixture: synth -> train ->
+create-sdf -> evaluate -> demo. The minimum end-to-end slice (SURVEY.md §7.3)
+without the 30GB dataset."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from disn_tpu import cli
+from disn_tpu.core import codecs
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("e2e")
+
+
+SET = ["num_classes=32", "width_mult=0.125", "batch_size=2",
+       "num_sample_points=128", "cat_limit=64", "view_num=2", "sdf_res=16",
+       "learning_rate=1e-3"]
+
+
+def _set_args():
+    return [x for kv in SET for x in ("--set", kv)]
+
+
+def test_e2e(workdir):
+    data = str(workdir / "data")
+    run = str(workdir / "run")
+
+    # 1. synthetic dataset
+    cli.main(["synth", "--out-dir", data, "--views", "2",
+              "--num-samples", "1024", "--grid-res", "16"])
+    assert os.path.exists(os.path.join(data, "filelists",
+                                       "99999999_train.lst"))
+
+    # 2. ground-truth meshes for evaluation (from the analytic grids)
+    from disn_tpu.ops import marching
+    gt_dir = os.path.join(data, "gt_meshes")
+    for obj in ("sphere0", "box0", "torus0"):
+        df = codecs.read_dist(os.path.join(data, "sdf_grids", "99999999",
+                                           obj, "grid.dist"))
+        v, f = marching.extract_mesh(df.values, df.params)
+        codecs.write_obj(os.path.join(gt_dir, "99999999", obj,
+                                      "isosurf.obj"), v, f)
+
+    # 3. train one epoch
+    cli.main(["train", "--data-root", data, "--log-dir", run,
+              "--epochs", "1", "--workers", "2", "--log-every", "1"]
+             + _set_args())
+    assert os.path.exists(os.path.join(run, "latest.npz"))
+    assert os.path.exists(os.path.join(run, "best.npz"))
+    assert os.path.exists(os.path.join(run, "log_train.txt"))
+    lines = [json.loads(ln) for ln in
+             open(os.path.join(run, "metrics_train.jsonl"))]
+    assert lines and np.isfinite(lines[-1]["overall_loss"])
+
+    # 4. reconstruct the test split (dense path on the tiny grid)
+    cli.main(["create-sdf", "--data-root", data, "--log-dir", run,
+              "--restore", os.path.join(run, "latest.npz"), "--dense",
+              "--split", "test"] + _set_args())
+    pred_dir = os.path.join(run, "test_objs", "17_0.0")
+    objs = []
+    for root, _, files in os.walk(pred_dir):
+        objs += [os.path.join(root, f) for f in files if f.endswith(".obj")]
+    assert len(objs) == 6  # 3 shapes x 2 views
+
+    # 5a. evaluate protocol on a GT-copy prediction tree (deterministic)
+    copy_dir = os.path.join(str(workdir), "pred_copy")
+    for obj in ("sphere0", "box0", "torus0"):
+        v, f = codecs.read_obj(os.path.join(gt_dir, "99999999", obj,
+                                            "isosurf.obj"))
+        for view in range(2):
+            codecs.write_obj(os.path.join(
+                copy_dir, "99999999", f"99999999_{obj}_{view}.obj"), v, f)
+    cli.main(["evaluate", "--data-root", data, "--pred-dir", copy_dir,
+              "--gt-dir", gt_dir, "--view-num", "2", "--num-points", "256",
+              "--dim", "32", "--metrics", "cd,emd,fscore,iou",
+              "--out", os.path.join(run, "eval.json")])
+    res = json.load(open(os.path.join(run, "eval.json")))
+    cat = res["categories"]["99999999"]
+    assert cat["objects"] == 3
+    for key in ("cd_avg", "cd_min", "emd_avg", "iou_avg"):
+        assert key in cat and np.isfinite(cat[key])
+    assert cat["iou_avg"] == pytest.approx(1.0)  # identical meshes
+    assert len(cat["f1"]) == 6
+
+    # 5b. evaluate the net's own outputs — must run even when the barely-
+    # trained net produces empty meshes for some objects
+    cli.main(["evaluate", "--data-root", data, "--pred-dir", pred_dir,
+              "--gt-dir", gt_dir, "--view-num", "2", "--num-points", "256",
+              "--dim", "32", "--metrics", "cd,iou",
+              "--out", os.path.join(run, "eval_net.json")])
+    assert os.path.exists(os.path.join(run, "eval_net.json"))
+
+    # 6. demo from a view h5
+    out_obj = os.path.join(run, "demo.obj")
+    cli.main(["demo", "--image",
+              os.path.join(data, "renders", "99999999", "sphere0", "00.h5"),
+              "--restore", os.path.join(run, "latest.npz"),
+              "--out", out_obj, "--dense"] + _set_args())
+    assert os.path.exists(out_obj)
+
+
+def test_config_overrides():
+    from disn_tpu.config import Config, Variant
+    cfg = cli.apply_overrides(
+        Config(), ["variant=onestream", "binary=true", "sdf_res=128",
+                   "learning_rate=0.01"])
+    assert cfg.variant is Variant.ONESTREAM
+    assert cfg.binary is True
+    assert cfg.sdf_res == 128
+    assert cfg.learning_rate == pytest.approx(0.01)
+    with pytest.raises(SystemExit):
+        cli.apply_overrides(Config(), ["nope=1"])
