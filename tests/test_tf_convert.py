@@ -1,0 +1,113 @@
+"""TF1-checkpoint converter tests against REAL TensorFlow-written bundles."""
+import os
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from disn_tpu.convert import tf_ckpt  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tf_checkpoint(tmp_path_factory):
+    """Write a bundle with slim-style DISN variable names via real TF."""
+    d = tmp_path_factory.mktemp("tfckpt")
+    prefix = str(d / "model.ckpt")
+    rng = np.random.RandomState(0)
+    tensors = {
+        "vgg_16/conv1/conv1_1/weights": rng.randn(3, 3, 3, 8).astype(np.float32),
+        "vgg_16/conv1/conv1_1/biases": rng.randn(8).astype(np.float32),
+        "vgg_16/fc8/weights": rng.randn(1, 1, 16, 4).astype(np.float32),
+        "sdfprediction/fold1/conv1/weights":
+            rng.randn(1, 1, 3, 64).astype(np.float32),
+        "sdfprediction/fold1/conv1/biases": rng.randn(64).astype(np.float32),
+        "sdfprediction_imgfeat/fold2/conv5/weights":
+            rng.randn(1, 1, 256, 1).astype(np.float32),
+        "cameraprediction/translation/fc3/weights":
+            rng.randn(64, 3).astype(np.float32),
+        "vgg_16/conv1/conv1_1/weights/Adam":
+            rng.randn(3, 3, 3, 8).astype(np.float32),
+        "beta1_power": np.float32(0.5),
+        "global_step": np.int64(1234),
+    }
+    ckpt_vars = {k: tf.Variable(v) for k, v in tensors.items()}
+    ckpt = tf.train.Checkpoint(**{k.replace("/", "_S_"): v
+                                  for k, v in ckpt_vars.items()})
+    # use the low-level writer to keep exact names
+    tf.raw_ops.Save  # noqa: B018 - ensure op exists
+    from tensorflow.python.training import py_checkpoint_reader  # noqa: F401
+    import tensorflow.compat.v1 as tf1
+    tf1.disable_eager_execution()
+    g = tf1.Graph()
+    with g.as_default():
+        tvars = {k: tf1.get_variable(k, initializer=v)
+                 for k, v in tensors.items()}
+        saver = tf1.train.Saver(var_list=tvars)
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, prefix, write_meta_graph=False,
+                       write_state=False)
+    return prefix, tensors
+
+
+def test_pure_python_reader_matches_tf(tf_checkpoint):
+    prefix, tensors = tf_checkpoint
+    got = tf_ckpt.read_tf_checkpoint(prefix)
+    reader = tf.train.load_checkpoint(prefix)
+    want_names = set(reader.get_variable_to_shape_map())
+    assert set(got) == want_names
+    for name in want_names:
+        np.testing.assert_array_equal(got[name], reader.get_tensor(name))
+
+
+def test_param_tree_mapping(tf_checkpoint):
+    prefix, tensors = tf_checkpoint
+    params = tf_ckpt.tf_vars_to_params(tf_ckpt.read_tf_checkpoint(prefix))
+    # nesting + raw conv kernel kept 4D for vgg
+    np.testing.assert_array_equal(
+        params["vgg_16"]["conv1"]["conv1_1"]["weights"],
+        tensors["vgg_16/conv1/conv1_1/weights"])
+    # per-point MLP kernels squeezed to dense
+    assert params["sdfprediction"]["fold1"]["conv1"]["weights"].shape == (3, 64)
+    np.testing.assert_array_equal(
+        params["sdfprediction"]["fold1"]["conv1"]["weights"],
+        tensors["sdfprediction/fold1/conv1/weights"][0, 0])
+    assert params["sdfprediction_imgfeat"]["fold2"]["conv5"]["weights"].shape \
+        == (256, 1)
+    # optimizer slots and counters dropped
+    assert "beta1_power" not in params
+    assert "global_step" not in params
+    assert "Adam" not in params["vgg_16"]["conv1"]["conv1_1"]
+
+
+def test_convert_and_merge(tf_checkpoint, tmp_path):
+    import jax
+    from disn_tpu.config import Config
+    from disn_tpu.models import disn
+    from disn_tpu.train import checkpoint
+
+    prefix, _ = tf_checkpoint
+    out = str(tmp_path / "converted.npz")
+    params = tf_ckpt.convert_checkpoint(prefix, out)
+    assert os.path.exists(out)
+    assert checkpoint.load_metadata(out)["format"] == "tf1-bundle"
+    # converted tree merges into a live model via scope overlay
+    cfg = Config(num_classes=32, width_mult=0.125)
+    live = disn.init(cfg, jax.random.PRNGKey(0))
+    merged, skipped = checkpoint.merge_scopes(
+        jax.tree_util.tree_map(np.asarray, live), params,
+        scopes=("sdfprediction",))
+    # converted leaves overlay the live model (head widths are fixed, so the
+    # squeezed [3,64] kernel drops straight in)...
+    np.testing.assert_array_equal(
+        merged["sdfprediction"]["fold1"]["conv1"]["weights"],
+        params["sdfprediction"]["fold1"]["conv1"]["weights"])
+    # ...while leaves absent from the donor keep the live values
+    np.testing.assert_array_equal(
+        merged["sdfprediction"]["fold1"]["conv2"]["weights"],
+        np.asarray(live["sdfprediction"]["fold1"]["conv2"]["weights"]))
+    # vgg scope untouched (not in scopes)
+    np.testing.assert_array_equal(
+        merged["vgg_16"]["conv1"]["conv1_1"]["weights"],
+        np.asarray(live["vgg_16"]["conv1"]["conv1_1"]["weights"]))
