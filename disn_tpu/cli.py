@@ -346,6 +346,39 @@ def cmd_evaluate(args) -> None:
             json.dump(results, f, indent=2)
 
 
+def cmd_evaluate_acc(args) -> None:
+    """SDF accuracy / loss on held-out sampled points (test/test_sdf_acc.py
+    equivalent): runs the metric-only eval step over a split."""
+    setup_jax(args)
+    import jax
+    from disn_tpu.data import pipeline
+    from disn_tpu.train import checkpoint
+    from disn_tpu.train.trainer import make_eval_step
+    from disn_tpu.utils import MetricLogger
+
+    cfg = apply_overrides(Config(), args.set)
+    logger = MetricLogger(args.log_dir, name="acc")
+    listinfo, cats_limit, paths = data_handles(cfg, args.data_root,
+                                               args.split)
+    donor = checkpoint.restore_params(args.restore)
+    params = jax.device_put(donor.get("params", donor))
+    loader = pipeline.make_loader(cfg, paths, listinfo, cats_limit,
+                                  epochs=1, shuffle=False, workers=4)
+    ev = make_eval_step(cfg)
+    loader.start()
+    sums: dict[str, float] = {}
+    n = 0
+    for batch in loader:
+        losses = ev(params, batch)
+        for k, v in losses.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    loader.shutdown()
+    avg = {k: v / max(n, 1) for k, v in sums.items()}
+    logger.log(json.dumps(avg, indent=2))
+    logger.close()
+
+
 def cmd_preprocess_sdf(args) -> None:
     from concurrent.futures import ProcessPoolExecutor
     from disn_tpu.core import codecs
@@ -470,6 +503,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dim", type=int, default=110)
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("evaluate-acc",
+                       help="SDF sign-accuracy/loss on held-out points")
+    common_args(p)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--restore", required=True)
+    p.add_argument("--split", default="test")
+    p.set_defaults(fn=cmd_evaluate_acc)
 
     p = sub.add_parser("preprocess-sdf")
     p.add_argument("--pattern", required=True, help="glob of input .obj files")

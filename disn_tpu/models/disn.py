@@ -167,7 +167,8 @@ def get_loss(end_points: dict[str, jnp.ndarray], gt_sdf: jnp.ndarray,
     Binary: softmax CE on sign labels x100.
     gt_sdf: [B,N,1] (already iso-offset by the caller when training).
     """
-    pred = end_points["pred_sdf"]
+    pred = end_points["pred_sdf"].astype(jnp.float32)
+    gt_sdf = gt_sdf.astype(jnp.float32)
     losses: dict[str, jnp.ndarray] = {}
     if cfg.binary:
         labels = (gt_sdf[..., 0] > 0).astype(jnp.int32)

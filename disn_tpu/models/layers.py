@@ -79,7 +79,9 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding: str = "SAME",
     y = y + p["biases"].astype(jnp.float32)
     if relu:
         y = jax.nn.relu(y)
-    return y
+    # cast back to the compute dtype: keeps fwd/bwd operand dtypes consistent
+    # under grad (f32 accumulation happens inside the conv)
+    return y.astype(compute_dtype)
 
 
 def dense(p: Params, x: jnp.ndarray, relu: bool = True,
@@ -94,7 +96,7 @@ def dense(p: Params, x: jnp.ndarray, relu: bool = True,
     y = y + p["biases"].astype(jnp.float32)
     if relu:
         y = jax.nn.relu(y)
-    return y
+    return y.astype(compute_dtype)
 
 
 def max_pool2d(x: jnp.ndarray, k: int = 2, stride: int = 2,
@@ -120,7 +122,7 @@ def conv3d_transpose(p: Params, x: jnp.ndarray, stride: tuple[int, int, int],
     y = y + p["biases"].astype(jnp.float32)
     if relu:
         y = jax.nn.relu(y)
-    return y
+    return y.astype(compute_dtype)
 
 
 def l2_regularizer(params: Any, scale: float) -> jnp.ndarray:
