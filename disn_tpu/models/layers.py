@@ -7,9 +7,9 @@ only. All layers are pure functions; there is no variable store, collection,
 or session. Weight decay is computed by ``l2_regularizer`` over the tree
 instead of TF's side-channel collections (tf_util.py:23-48).
 
-Compute dtype: convs/matmuls optionally run in bfloat16 with float32
-accumulation (``preferred_element_type``) — the MXU-native mode. Params always
-live in float32.
+Compute dtype: convs/matmuls optionally run in bfloat16 (the TPU MXU
+accumulates bf16 matmuls in float32 internally; outputs round to bf16 per
+layer, the standard mixed-precision recipe). Params always live in float32.
 """
 from __future__ import annotations
 
@@ -74,9 +74,8 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding: str = "SAME",
         x.astype(compute_dtype), w,
         window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    y = y + p["biases"].astype(jnp.float32)
+    y = y + p["biases"].astype(y.dtype)
     if relu:
         y = jax.nn.relu(y)
     # cast back to the compute dtype: keeps fwd/bwd operand dtypes consistent
@@ -91,9 +90,8 @@ def dense(p: Params, x: jnp.ndarray, relu: bool = True,
     y = jax.lax.dot_general(
         x.astype(compute_dtype), w,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
     )
-    y = y + p["biases"].astype(jnp.float32)
+    y = y + p["biases"].astype(y.dtype)
     if relu:
         y = jax.nn.relu(y)
     return y.astype(compute_dtype)
@@ -117,9 +115,8 @@ def conv3d_transpose(p: Params, x: jnp.ndarray, stride: tuple[int, int, int],
         x.astype(compute_dtype), w,
         strides=stride, padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
     )
-    y = y + p["biases"].astype(jnp.float32)
+    y = y + p["biases"].astype(y.dtype)
     if relu:
         y = jax.nn.relu(y)
     return y.astype(compute_dtype)
