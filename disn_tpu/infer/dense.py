@@ -49,8 +49,13 @@ def scale_pred(pred: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 
 def _decode_block(params: Params, endpoints: dict[str, jnp.ndarray],
                   embedding: jnp.ndarray, trans_mat: jnp.ndarray,
-                  pts: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    """[P,3] points -> [P] sdf values for one image (no batch dim)."""
+                  pts: jnp.ndarray, cfg: Config,
+                  folded: bool = False) -> jnp.ndarray:
+    """[P,3] points -> [P] sdf values for one image (no batch dim).
+
+    folded=True expects endpoints pre-multiplied by the local-stream fold2
+    weight slices (_prep(fold_local=True)): the per-point 1472->512 matmul
+    disappears and per-scale samples SUM instead of concatenating."""
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     pts_b = pts[None]  # [1,P,3]
     if cfg.variant in (Variant.TWOSTREAM, Variant.ONESTREAM):
@@ -60,17 +65,27 @@ def _decode_block(params: Params, endpoints: dict[str, jnp.ndarray],
                  else vgg.ENDPOINTS[:3])
         sample = (image_ops.sample_native if cfg.sampling == "native"
                   else image_ops.resize_then_sample)
-        local = jnp.concatenate([
-            sample(endpoints[n], px, cfg.img_h, cfg.img_w)
-            for n in names], axis=-1)
-        if cfg.variant is Variant.TWOSTREAM:
+        if folded and cfg.variant is Variant.TWOSTREAM:
+            contrib = None
+            for n in names:
+                s = sample(endpoints[n], px, cfg.img_h, cfg.img_w)
+                contrib = s if contrib is None else contrib + s
             pred = (sdfnet.apply_global_head(
                         params["sdfprediction"], pts_b, embedding, cd)
-                    + sdfnet.apply_local_head(
-                        params["sdfprediction_imgfeat"], pts_b, local, cd))
+                    + sdfnet.apply_local_head_folded(
+                        params["sdfprediction_imgfeat"], pts_b, contrib, cd))
         else:
-            pred = sdfnet.apply_onestream_head(
-                params["sdfimgfeat"], pts_b, embedding, local, cd)
+            local = jnp.concatenate([
+                sample(endpoints[n], px, cfg.img_h, cfg.img_w)
+                for n in names], axis=-1)
+            if cfg.variant is Variant.TWOSTREAM:
+                pred = (sdfnet.apply_global_head(
+                            params["sdfprediction"], pts_b, embedding, cd)
+                        + sdfnet.apply_local_head(
+                            params["sdfprediction_imgfeat"], pts_b, local, cd))
+            else:
+                pred = sdfnet.apply_onestream_head(
+                    params["sdfimgfeat"], pts_b, embedding, local, cd)
     elif cfg.variant is Variant.GLOBAL:
         pred = sdfnet.apply_global_head(params["sdfprediction"], pts_b,
                                         embedding, cd)
@@ -83,25 +98,44 @@ def _decode_block(params: Params, endpoints: dict[str, jnp.ndarray],
 
 def _stream_blocks(params, endpoints, embedding, trans_mat, sdf_params,
                    cfg: Config, start: jnp.ndarray, count: int,
-                   block: int) -> jnp.ndarray:
+                   block: int, folded: bool = False) -> jnp.ndarray:
     """SDF values for flat grid indices [start, start+count) in `block` steps."""
     n_blocks = count // block
     resolution = cfg.grid_resolution
 
     def one(i):
         pts = grids.grid_block(sdf_params, resolution, start + i * block, block)
-        return _decode_block(params, endpoints, embedding, trans_mat, pts, cfg)
+        return _decode_block(params, endpoints, embedding, trans_mat, pts,
+                             cfg, folded=folded)
 
     vals = jax.lax.map(one, jnp.arange(n_blocks, dtype=jnp.int32))
     return vals.reshape(count)
 
 
-def _prep(params: Params, img: jnp.ndarray, cfg: Config):
-    """Encode the image once; cast endpoint maps to the compute dtype."""
+def _prep(params: Params, img: jnp.ndarray, cfg: Config,
+          fold_local: bool = False):
+    """Encode the image once; cast endpoint maps to the compute dtype.
+
+    fold_local=True pre-multiplies each endpoint map by its slice of the
+    local stream's fold2/conv1 weight (legal because feature sampling is
+    linear in the map values; ~6 GFLOP once per image) — the per-point
+    1472->512 matmul then vanishes from the hot loop (-34% point FLOPs)."""
     embedding, endpoints = disn.encode(params, img, cfg)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     keep = (vgg.ENDPOINTS if cfg.variant is Variant.TWOSTREAM
             else vgg.ENDPOINTS[:3])
+    if fold_local and cfg.variant is Variant.TWOSTREAM:
+        _, w_local = sdfnet.split_local_fold2(params["sdfprediction_imgfeat"])
+        w_local = w_local.astype(cd)
+        out = {}
+        off = 0
+        for n in keep:
+            c = endpoints[n].shape[-1]
+            out[n] = jnp.einsum(
+                "bhwc,cd->bhwd", endpoints[n].astype(cd),
+                w_local[off:off + c])
+            off += c
+        return embedding, out
     endpoints = {n: endpoints[n].astype(cd) for n in keep}
     return embedding, endpoints
 
@@ -110,19 +144,28 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def make_dense_sdf_fn(cfg: Config, block: int = 65536):
+def make_dense_sdf_fn(cfg: Config, block: int = 65536,
+                      fold_local: bool | None = None):
     """Single-device jitted fn: (params, img[1,H,W,C], trans_mat[4,3],
-    sdf_params[6]) -> [R,R,R] float32 volume (z,y,x indexed, x fastest)."""
+    sdf_params[6]) -> [R,R,R] float32 volume (z,y,x indexed, x fastest).
+
+    fold_local folds the local-stream weight into the maps (-34% point
+    FLOPs) but uniformizes every gather row to 512 channels (~1.7x gather
+    traffic) — measured SLOWER on v5e where XLA gathers are the bottleneck
+    (3.13s vs 2.38s at 257^3), so it defaults OFF; it becomes profitable once
+    sampling runs in the Pallas tiled kernel."""
     resolution = cfg.grid_resolution
     total = resolution ** 3
     block = min(block, _round_up(total, 8))
     padded = _round_up(total, block)
+    fold = False if fold_local is None else fold_local
 
     @jax.jit
     def fn(params, img, trans_mat, sdf_params):
-        embedding, endpoints = _prep(params, img, cfg)
+        embedding, endpoints = _prep(params, img, cfg, fold_local=fold)
         vals = _stream_blocks(params, endpoints, embedding, trans_mat,
-                              sdf_params, cfg, jnp.int32(0), padded, block)
+                              sdf_params, cfg, jnp.int32(0), padded, block,
+                              folded=fold)
         return vals[:total].reshape(resolution, resolution, resolution)
 
     return fn
@@ -144,8 +187,10 @@ def make_sharded_dense_sdf_fn(cfg: Config, mesh: Mesh, block: int = 65536):
     # when a data axis exists
     axes = tuple(mesh.axis_names)
 
+    fold = False  # see make_dense_sdf_fn: gather-bound on current backend
+
     def worker(params, img, trans_mat, sdf_params):
-        embedding, endpoints = _prep(params, img, cfg)
+        embedding, endpoints = _prep(params, img, cfg, fold_local=fold)
         idx = jax.lax.axis_index(POINT_AXIS)
         if len(axes) > 1:
             other = int(np.prod([mesh.shape[a] for a in axes
@@ -154,7 +199,8 @@ def make_sharded_dense_sdf_fn(cfg: Config, mesh: Mesh, block: int = 65536):
                 raise ValueError("use a points-only mesh for dense inference")
         start = idx * per_dev
         vals = _stream_blocks(params, endpoints, embedding, trans_mat,
-                              sdf_params, cfg, start, per_dev, block)
+                              sdf_params, cfg, start, per_dev, block,
+                              folded=fold)
         return vals[None]  # [1, per_dev] -> concatenates over devices
 
     sharded = shard_map(

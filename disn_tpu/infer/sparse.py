@@ -100,14 +100,17 @@ def make_sparse_dense_sdf_fn(cfg: Config, stride: int = 4,
     padded_fine = -(-total_fine // block) * block
 
     coarse_fn_total = -(-rc ** 3 // block) * block
+    fold = False  # see dense.make_dense_sdf_fn: gather-bound backend
 
     def fn(params, img, trans_mat, sdf_params):
-        embedding, endpoints = dense_mod._prep(params, img, cfg)
+        embedding, endpoints = dense_mod._prep(params, img, cfg,
+                                               fold_local=fold)
 
         # ---- pass 1: coarse grid -----------------------------------------
         vol_c = dense_mod._stream_blocks(
             params, endpoints, embedding, trans_mat, sdf_params, coarse_cfg,
-            jnp.int32(0), coarse_fn_total, block)[:rc ** 3].reshape(rc, rc, rc)
+            jnp.int32(0), coarse_fn_total, block,
+            folded=fold)[:rc ** 3].reshape(rc, rc, rc)
 
         # conservative band: surface can hide in a cell only if some corner
         # |sdf| < band_factor * cell world diagonal (Lipschitz-1 argument)
@@ -142,7 +145,7 @@ def make_sparse_dense_sdf_fn(cfg: Config, stride: int = 4,
                 lo[2] + fz.astype(jnp.float32) / denom * (hi[2] - lo[2]),
             ], axis=-1)
             vals = dense_mod._decode_block(params, endpoints, embedding,
-                                           trans_mat, pts, cfg)
+                                           trans_mat, pts, cfg, folded=fold)
             flat = (fz * fine_r + fy) * fine_r + fx
             valid = slot < count
             return vals, jnp.where(valid, flat, fine_r ** 3)
@@ -178,7 +181,7 @@ def make_sparse_dense_sdf_fn(cfg: Config, stride: int = 4,
                 lo[2] + fz.astype(jnp.float32) / denom * (hi[2] - lo[2]),
             ], axis=-1)
             v = dense_mod._decode_block(params, endpoints, embedding,
-                                        trans_mat, pts, cfg)
+                                        trans_mat, pts, cfg, folded=fold)
             flat = (fz * fine_r + fy) * fine_r + fx
             return v, jnp.where(q < 3 * n_plane, flat, fine_r ** 3)
 

@@ -90,6 +90,36 @@ def apply_local_head(params: dict, pts: jnp.ndarray, local_feat: jnp.ndarray,
     return _apply_point_mlp(params, pts, local_feat, compute_dtype)
 
 
+def split_local_fold2(params: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Split fold2/conv1 W [512+L, 512] into (W_point [512,512], W_local
+    [L,512]). Because feature sampling is linear, W_local can be FOLDED into
+    the endpoint maps once per image: sample(map) @ W_l == sample(map @ W_l)
+    — see infer/dense.py. Exactness (up to bf16 rounding order) is tested."""
+    w = params["fold2"]["conv1"]["weights"]
+    return w[:512], w[512:]
+
+
+def apply_local_head_folded(params: dict, pts: jnp.ndarray,
+                            local_contrib: jnp.ndarray,
+                            compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Local stream with the local-feature matmul pre-folded into the maps:
+    local_contrib [B,N,512] = sampled (map @ W_local) summed over scales."""
+    cd = compute_dtype
+    h = layers.dense(params["fold1"]["conv1"], pts, compute_dtype=cd)
+    h = layers.dense(params["fold1"]["conv2"], h, compute_dtype=cd)
+    h = layers.dense(params["fold1"]["conv3"], h, compute_dtype=cd)
+    w_point, _ = split_local_fold2(params)
+    b = params["fold2"]["conv1"]["biases"]
+    pre = (jax.lax.dot_general(
+        h.astype(cd), w_point.astype(cd),
+        dimension_numbers=(((h.ndim - 1,), (0,)), ((), ())))
+        + local_contrib.astype(cd) + b.astype(cd))
+    h = jax.nn.relu(pre)
+    h = layers.dense(params["fold2"]["conv2"], h, compute_dtype=cd)
+    last = "conv5_bi" if "conv5_bi" in params["fold2"] else "conv5"
+    return layers.dense(params["fold2"][last], h, relu=False, compute_dtype=cd)
+
+
 def apply_onestream_head(params: dict, pts: jnp.ndarray,
                          global_feat: jnp.ndarray, local_feat: jnp.ndarray,
                          compute_dtype=jnp.float32) -> jnp.ndarray:

@@ -150,3 +150,17 @@ def test_sparse_analytic_sphere_mesh():
     want = set(np.nonzero(sign_change.reshape(-1))[0].tolist())
     got = set(np.asarray(ids[:count]).tolist())
     assert want <= got
+
+
+def test_folded_matches_unfolded(setup):
+    """Folding the local-stream weight into the maps is mathematically exact
+    (sampling is linear); f32 compute must agree tightly."""
+    cfg, params, img = setup
+    fn_fold = dense.make_dense_sdf_fn(cfg, block=128, fold_local=True)
+    fn_raw = dense.make_dense_sdf_fn(cfg, block=128, fold_local=False)
+    import jax.numpy as jnp
+    args = (params, jnp.asarray(img), jnp.asarray(TRANS),
+            jnp.asarray(SDF_PARAMS))
+    np.testing.assert_allclose(np.asarray(fn_fold(*args)),
+                               np.asarray(fn_raw(*args)),
+                               rtol=1e-4, atol=1e-5)
