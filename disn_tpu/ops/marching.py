@@ -135,70 +135,104 @@ def _cell_triangles(corner_vals: jnp.ndarray, corner_pos: jnp.ndarray,
     return tri_pos, tri_keys, valid.reshape(m, _N_SLOTS)
 
 
-def _slab_corners(volume: jnp.ndarray, z: jnp.ndarray, sdf_params: jnp.ndarray
-                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Corner (values, positions, gids) for all cells in z-slab `z`.
+def _active_cells(volume: jnp.ndarray, iso: float, cap: int
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compacted flat ids of cells whose 8 corners straddle the iso surface.
 
-    volume [R,R,R] (z,y,x). Returns [M,8], [M,8,3], [M,8] with M=(R-1)^2.
-    """
+    Only O(surface area) cells produce triangles; compacting first turns the
+    extraction from a full-volume scatter sweep (O(R^3) latency-bound work
+    that crashed the TPU runtime at 257^3) into a short loop over surface
+    cells. Returns (ids [cap] i32, count)."""
     R = volume.shape[0]
-    slab = jax.lax.dynamic_slice_in_dim(volume, z, 2, axis=0)  # [2,R,R]
-    iy = jnp.arange(R - 1)
-    ix = jnp.arange(R - 1)
-    yy, xx = jnp.meshgrid(iy, ix, indexing="ij")
-    yy = yy.reshape(-1)
-    xx = xx.reshape(-1)
+    c = R - 1
+    inside = volume < iso
+    corners = jnp.stack([
+        inside[dz:dz + c, dy:dy + c, dx:dx + c]
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)])
+    change = (jnp.any(corners, axis=0) & ~jnp.all(corners, axis=0)).reshape(-1)
+    csum = jnp.cumsum(change.astype(jnp.int32))
+    idx = jnp.where(change, csum - 1, cap)
+    ids = jnp.zeros((cap,), jnp.int32).at[idx].set(
+        jnp.arange(change.shape[0], dtype=jnp.int32), mode="drop")
+    return ids, csum[-1]
+
+
+def _cell_corner_data(volume: jnp.ndarray, cell_ids: jnp.ndarray,
+                      sdf_params: jnp.ndarray
+                      ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Corner (values, positions, gids) for a batch of flat cell ids.
+
+    volume [R,R,R] (z,y,x); cell_ids [B] flat over the (R-1)^3 cell grid.
+    Returns [B,8], [B,8,3], [B,8]."""
+    R = volume.shape[0]
+    c = R - 1
+    cz = cell_ids // (c * c)
+    cy = (cell_ids // c) % c
+    cx = cell_ids % c
     offs = jnp.asarray(CORNERS)  # [8,3] (x,y,z)
-    cx = xx[:, None] + offs[None, :, 0]
-    cy = yy[:, None] + offs[None, :, 1]
-    cz = offs[None, :, 2] * jnp.ones_like(cx)
-    vals = slab[cz, cy, cx]
-    gz = (z + offs[:, 2])[None, :] * (R * R)
-    gid = (gz + cy * R + cx).astype(jnp.int32)
-    # world positions
+    gx = cx[:, None] + offs[None, :, 0]
+    gy = cy[:, None] + offs[None, :, 1]
+    gz = cz[:, None] + offs[None, :, 2]
+    gid = ((gz * R + gy) * R + gx).astype(jnp.int32)
+    vals = volume.reshape(-1)[gid]
     denom = jnp.float32(R - 1)
-    fx = cx.astype(jnp.float32) / denom
-    fy = cy.astype(jnp.float32) / denom
-    fz = jnp.broadcast_to((z + offs[None, :, 2]).astype(jnp.float32),
-                          cx.shape) / denom
     lo = sdf_params[0:3]
     hi = sdf_params[3:6]
-    pos = jnp.stack([lo[0] + fx * (hi[0] - lo[0]),
-                     lo[1] + fy * (hi[1] - lo[1]),
-                     lo[2] + fz * (hi[2] - lo[2])], axis=-1)
+    pos = jnp.stack([
+        lo[0] + gx.astype(jnp.float32) / denom * (hi[0] - lo[0]),
+        lo[1] + gy.astype(jnp.float32) / denom * (hi[1] - lo[1]),
+        lo[2] + gz.astype(jnp.float32) / denom * (hi[2] - lo[2]),
+    ], axis=-1)
     return vals, pos, gid
 
 
 def marching_tets(volume: jnp.ndarray, sdf_params: jnp.ndarray,
-                  iso: float = 0.0, max_tris: int = 1 << 20
+                  iso: float = 0.0, max_tris: int = 1 << 20,
+                  cell_batch: int = 16384
                   ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Extract iso-surface triangles from a [R,R,R] (z,y,x-indexed) volume.
 
     Returns (tri_pos [max_tris,3,3] f32, tri_keys [max_tris,3,2] i32, count).
-    Slots >= count are zero. Jit-friendly: static output size; z-slabs stream
-    through a fori_loop carrying the running count.
+    Slots >= count are zero. Two-phase XLA design: sign-change cells compact
+    into a static-cap list (every surface cell yields >=1 triangle, so the
+    triangle cap also bounds the cell count), then a while_loop walks only
+    the occupied batches — trip count scales with surface area, not volume.
     """
-    R = volume.shape[0]
-    m = (R - 1) * (R - 1)
+    cell_cap = -(-max_tris // cell_batch) * cell_batch
+    cell_ids, n_cells = _active_cells(volume, iso, cell_cap)
 
     pos_buf = jnp.zeros((max_tris, 3, 3), jnp.float32)
     key_buf = jnp.zeros((max_tris, 3, 2), jnp.int32)
 
-    def body(z, carry):
-        pos_buf, key_buf, count = carry
-        vals, pos, gid = _slab_corners(volume, z, sdf_params)
+    def cond(carry):
+        i, *_ = carry
+        return i * cell_batch < jnp.minimum(n_cells, cell_cap)
+
+    def body(carry):
+        i, pos_buf, key_buf, count = carry
+        batch_ids = jax.lax.dynamic_slice_in_dim(
+            cell_ids, i * cell_batch, cell_batch)
+        vals, pos, gid = _cell_corner_data(volume, batch_ids, sdf_params)
         tri_pos, tri_keys, valid = _cell_triangles(vals, pos, gid, iso)
-        tri_pos = tri_pos.reshape(m * _N_SLOTS, 3, 3)
-        tri_keys = tri_keys.reshape(m * _N_SLOTS, 3, 2)
-        valid = valid.reshape(m * _N_SLOTS)
+        in_range = (i * cell_batch
+                    + jax.lax.broadcasted_iota(jnp.int32, (cell_batch, 1), 0)
+                    ) < n_cells
+        valid = valid & in_range
+        tri_pos = tri_pos.reshape(cell_batch * _N_SLOTS, 3, 3)
+        tri_keys = tri_keys.reshape(cell_batch * _N_SLOTS, 3, 2)
+        valid = valid.reshape(cell_batch * _N_SLOTS)
         csum = jnp.cumsum(valid.astype(jnp.int32))
         idx = jnp.where(valid, count + csum - 1, max_tris)  # OOB -> dropped
         pos_buf = pos_buf.at[idx].set(tri_pos, mode="drop")
         key_buf = key_buf.at[idx].set(tri_keys, mode="drop")
-        return pos_buf, key_buf, count + csum[-1]
+        return i + 1, pos_buf, key_buf, count + csum[-1]
 
-    pos_buf, key_buf, count = jax.lax.fori_loop(
-        0, R - 1, body, (pos_buf, key_buf, jnp.int32(0)))
+    _, pos_buf, key_buf, count = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), pos_buf, key_buf, jnp.int32(0)))
+    # overflow detection: if more surface cells exist than the cap, surface
+    # the fact through the count so extract_mesh raises
+    count = jnp.where(n_cells > cell_cap,
+                      jnp.int32(max_tris + 1), count)
     return pos_buf, key_buf, count
 
 
@@ -233,8 +267,9 @@ def extract_mesh(volume: np.ndarray, sdf_params: np.ndarray,
     """volume [R,R,R] (z,y,x) -> welded (vertices, faces)."""
     R = volume.shape[0]
     if max_tris is None:
-        # tight upper bound heuristic: surfaces cross O(R^2) cells
-        max_tris = min(12 * (R - 1) ** 3, max(1 << 14, 48 * (R - 1) ** 2))
+        # surfaces cross O(R^2) cells; oversized caps cost real scatter time
+        # (measured 0.70s -> 0.61s at 257^3 going 3.1M -> 1M cap)
+        max_tris = min(12 * (R - 1) ** 3, max(1 << 16, 16 * (R - 1) ** 2))
     vol = jnp.asarray(volume, jnp.float32)
     params = jnp.asarray(sdf_params, jnp.float32)
     tri_pos, tri_keys, count = marching_tets_jit(vol, params, iso=float(iso),
