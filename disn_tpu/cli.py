@@ -151,6 +151,8 @@ def cmd_train(args) -> None:
         if i % args.log_every == 0:
             logger.metrics(i, losses)
             logger.log(timer.summary())
+        if args.dump_every and i % args.dump_every == 0:
+            _train_visual_dump(args.log_dir, i, cfg, state.params, batch)
         if (i + 1) % bpe == 0:
             epoch = (i + 1) // bpe
             params_host = jax.tree_util.tree_map(np.asarray, state.params)
@@ -164,6 +166,34 @@ def cmd_train(args) -> None:
             acc_sum, acc_n = 0.0, 0
     loader.shutdown()
     logger.close()
+
+
+def _train_visual_dump(log_dir: str, step: int, cfg, params, batch) -> None:
+    """Train-time camera-consistency visuals (train/train_sdf.py:403-428):
+    projected sample points splatted on the input image + SDF-colored
+    pred/gt point clouds."""
+    import jax.numpy as jnp
+    from disn_tpu.core import camera
+    from disn_tpu.models import disn
+    from disn_tpu.train.trainer import to_model_batch
+    from disn_tpu.utils import output_utils
+
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    d = os.path.join(log_dir, "dumps")
+    px = np.asarray(camera.project_points(
+        jnp.asarray(host["sdf_pt"][:1]), jnp.asarray(host["trans_mat"][:1]),
+        img_w=cfg.img_w, img_h=cfg.img_h))[0]
+    img = output_utils.draw_points_on_image(host["img"][0], px)
+    output_utils.save_ppm(os.path.join(d, f"step{step:06d}_proj.ppm"), img)
+    eps = disn.apply(params, to_model_batch(
+        {k: jnp.asarray(v[:1]) for k, v in host.items()}), cfg)
+    from disn_tpu.infer.dense import scale_pred
+    pred = np.asarray(scale_pred(eps["pred_sdf"], cfg))[0]
+    output_utils.save_scaled_point_cloud(
+        os.path.join(d, f"step{step:06d}_pred.obj"), host["sdf_pt"][0], pred)
+    output_utils.save_scaled_point_cloud(
+        os.path.join(d, f"step{step:06d}_gt.obj"), host["sdf_pt"][0],
+        host["sdf_val"][0, :, 0])
 
 
 def cmd_train_cam(args) -> None:
@@ -286,6 +316,10 @@ def cmd_create_sdf(args) -> None:
     logger = MetricLogger(args.log_dir, name="test")
     listinfo, _, paths = data_handles(cfg, args.data_root, args.split,
                                       cam_est=args.cam_est)
+    if args.shards > 1:  # eval farm: disjoint object stripes per worker
+        listinfo = listinfo[args.shard::args.shards]
+        logger.log(f"shard {args.shard}/{args.shards}: "
+                   f"{len(listinfo)} views")
     donor = checkpoint.restore_params(args.restore)
     params = donor.get("params", donor)
     written = infer_pipeline.reconstruct_split(
@@ -452,6 +486,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--dump-every", type=int, default=4000,
+                   help="visual dump cadence (0 disables)")
     p.add_argument("--restore", default=None)
     p.add_argument("--restore-cnn", default=None,
                    help="encoder-only init (skips fc8), like --restore_modelcnn")
@@ -478,6 +514,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cam-est", action="store_true")
     p.add_argument("--dense", action="store_true",
                    help="exact dense path (default: sparse two-level)")
+    p.add_argument("--shard", type=int, default=0,
+                   help="this worker's index in a reconstruction farm")
+    p.add_argument("--shards", type=int, default=1,
+                   help="total farm workers (launch one process per chip)")
     p.set_defaults(fn=cmd_create_sdf)
 
     p = sub.add_parser("demo", help="single image -> mesh")
