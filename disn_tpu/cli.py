@@ -238,6 +238,8 @@ def cmd_train_cam(args) -> None:
                      "sample_pc": batch["sdf_pt"],
                      "RT": batch["regress_mat"],
                      "trans_mat": batch["trans_mat"]}
+        if "shifts" in batch:
+            cam_batch["shifts"] = batch["shifts"]
         state, losses = step_fn(state, cam_batch)
         if i % args.log_every == 0:
             logger.metrics(i, losses)

@@ -97,11 +97,41 @@ class SdfImageDataset:
                 self._sdf_cache[key] = rec
         return rec
 
+    @staticmethod
+    def random_shift(raw: np.ndarray, rng: np.random.RandomState
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """2-DoF object translation augmentation for the cam-net's xyshift
+        head (data_sdf_h5_queue_mask_imgh5_cammat.py:258-275): shift the
+        object's pixels within 0.7x of its free margins; target is
+        (x, y) * 2 / img_h."""
+        h, w = raw.shape[:2]
+        alpha = np.argwhere(raw[:, :, 3] > 0)
+        if len(alpha) == 0:
+            return raw, np.zeros(2, np.float32)
+        top = alpha[:, 0].min()
+        down = h - alpha[:, 0].max()
+        left = alpha[:, 1].min()
+        right = w - alpha[:, 1].max()
+
+        def rand_range(lo, hi):
+            lo, hi = int(-lo * 0.7), int(hi * 0.7)
+            return rng.randint(lo, hi) if hi > lo else 0
+
+        y_shift = rand_range(top, down)
+        x_shift = rand_range(left, right)
+        out = np.zeros_like(raw)
+        out[alpha[:, 0] + y_shift, alpha[:, 1] + x_shift] = \
+            raw[alpha[:, 0], alpha[:, 1]]
+        return out, np.asarray([x_shift, y_shift], np.float32) * 2.0 / h
+
     def _load_img(self, cat_id: str, obj: str, view: int,
                   rng: np.random.RandomState) -> dict[str, np.ndarray]:
         cfg = self.cfg
         rec = codecs.read_view_h5(self.paths.img_path(cat_id, obj, view))
         raw = rec.img_arr
+        shifts = None
+        if cfg.cam_shift:
+            raw, shifts = self.random_shift(raw, rng)
         if cfg.alpha:
             img = raw[:, :, :4].astype(np.float32) / 255.0
         else:
@@ -120,12 +150,15 @@ class SdfImageDataset:
             if cfg.backcolorwhite:
                 img[alpha == 0] = 255.0
             img = np.clip(img, 0.0, 255.0) / 255.0
-        return {
+        out = {
             "img": img,
             "trans_mat": rec.trans_mat,
             "regress_mat": rec.regress_mat,
             "obj_rot_mat": rec.obj_rot_mat,
         }
+        if shifts is not None:
+            out["shifts"] = shifts
+        return out
 
     def get_example(self, index: int,
                     rng: np.random.RandomState | None = None
@@ -160,7 +193,10 @@ class SdfImageDataset:
                 out["sdf_pt_rot"] = pts
         out["norm_params"] = sdf.norm_params
         out["sdf_params"] = sdf.sdf_params
-        out.update({k: view_rec[k] for k in ("img", "trans_mat", "regress_mat")})
+        keys = ("img", "trans_mat", "regress_mat")
+        out.update({k: view_rec[k] for k in keys})
+        if "shifts" in view_rec:
+            out["shifts"] = view_rec["shifts"]
         return out
 
     def get_batch(self, indices: np.ndarray,
