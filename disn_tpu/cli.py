@@ -120,6 +120,17 @@ def cmd_train(args) -> None:
                                   sharding=batch_sharding(mesh, 1),
                                   workers=args.workers, seed=args.seed)
     state = create_state(cfg, jax.random.PRNGKey(args.seed))
+    if args.resume:
+        # elastic resume: full state (params + optimizer moments + step)
+        path = args.resume if os.path.isfile(args.resume) else \
+            os.path.join(args.resume, "latest.npz")
+        target = {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step}
+        restored = checkpoint.restore(path, target)
+        state = state.replace(params=jax.device_put(restored["params"]),
+                              opt_state=jax.device_put(restored["opt_state"]),
+                              step=jax.device_put(restored["step"]))
+        logger.log(f"resumed from {path} at step {int(state.step)}")
     if args.restore:
         donor = checkpoint.restore_params(args.restore)
         merged, skipped = checkpoint.merge_scopes(
@@ -493,6 +504,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore", default=None)
     p.add_argument("--restore-cnn", default=None,
                    help="encoder-only init (skips fc8), like --restore_modelcnn")
+    p.add_argument("--resume", default=None,
+                   help="full-state resume (params+optimizer+step) from a "
+                        "checkpoint file or a run dir's latest.npz")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("train-cam", help="camera pose training / eval / h5")

@@ -114,3 +114,22 @@ def test_config_overrides():
     assert cfg.learning_rate == pytest.approx(0.01)
     with pytest.raises(SystemExit):
         cli.apply_overrides(Config(), ["nope=1"])
+
+
+def test_train_resume(workdir):
+    """Elastic resume: second run continues from latest.npz (step advances,
+    optimizer state preserved)."""
+    import json as _json
+    data = str(workdir / "data")
+    run = str(workdir / "resume_run")
+    cli.main(["train", "--data-root", data, "--log-dir", run,
+              "--epochs", "1", "--workers", "2", "--log-every", "1",
+              "--dump-every", "0"] + _set_args())
+    from disn_tpu.train import checkpoint
+    step1 = checkpoint.load_metadata(os.path.join(run, "latest.npz"))["step"]
+    assert step1 > 0
+    cli.main(["train", "--data-root", data, "--log-dir", run,
+              "--epochs", "1", "--workers", "2", "--log-every", "1",
+              "--dump-every", "0", "--resume", run] + _set_args())
+    step2 = checkpoint.load_metadata(os.path.join(run, "latest.npz"))["step"]
+    assert step2 == 2 * step1
