@@ -119,8 +119,10 @@ def test_config_overrides():
 def test_train_resume(workdir):
     """Elastic resume: second run continues from latest.npz (step advances,
     optimizer state preserved)."""
-    import json as _json
     data = str(workdir / "data")
+    if not os.path.exists(os.path.join(data, "filelists")):
+        cli.main(["synth", "--out-dir", data, "--views", "2",
+                  "--num-samples", "1024", "--grid-res", "16"])
     run = str(workdir / "resume_run")
     cli.main(["train", "--data-root", data, "--log-dir", run,
               "--epochs", "1", "--workers", "2", "--log-every", "1",
