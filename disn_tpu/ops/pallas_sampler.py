@@ -175,3 +175,14 @@ def sample_multiscale(endpoints: dict[str, jnp.ndarray],
                                  groups_per_block=groups_per_block,
                                  interpret=interpret))
     return jnp.concatenate(feats, axis=-1)
+
+
+# Optimization log (round 1, v5e): this kernel reaches ~7.9M pts/s for the
+# 5-scale stack — parity with the XLA 4-tap gather path, not yet faster. A
+# flat-layout variant (tiles assembled from [H*W, C] via aligned sublane
+# slices, removing the [T,T,C]->[T*T,C] relayout) measured identical, and a
+# per-group scratch-slot variant regressed (VMEM pressure); the residual
+# ~1.5us/group cost is serialized dynamic-slice latency. Next candidates:
+# software-pipelining tile loads against the previous group's matmul via
+# double-buffered scratch + explicit make_async_copy, and fusing the
+# two-stream MLP into the same kernel so sampled features never leave VMEM.
