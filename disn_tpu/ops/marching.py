@@ -104,8 +104,18 @@ def _cell_triangles(corner_vals: jnp.ndarray, corner_pos: jnp.ndarray,
     weights = jnp.asarray([1, 2, 4, 8], jnp.int32)
     case = jnp.sum(tet_corners * weights, axis=-1)   # [M,6]
 
-    tri_edges = edges_j[jnp.arange(6)[None, :], case]  # [M,6,2,3,2]
-    n_tris = counts_j[jnp.arange(6)[None, :], case]    # [M,6]
+    # table lookup + corner gathers as ONE-HOT contractions over the tiny
+    # case/corner axes: TPU lowers per-row gathers to ~30ns latency-bound
+    # loads, while these einsums are pure VPU/MXU throughput.
+    case_oh = (case[..., None]
+               == jnp.arange(16, dtype=jnp.int32)).astype(jnp.float32)
+    table = edges_j.reshape(6, 16, 12).astype(jnp.float32)  # [6,16,12]
+    tri_edges = jnp.einsum("mgc,gcd->mgd", case_oh, table
+                           ).round().astype(jnp.int32).reshape(
+        case.shape[0], 6, 2, 3, 2)
+    counts_f = counts_j.astype(jnp.float32)
+    n_tris = jnp.einsum("mgc,gc->mg", case_oh, counts_f
+                        ).round().astype(jnp.int32)         # [M,6]
     slot = jnp.arange(2, dtype=jnp.int32)
     valid = slot[None, None, :] < n_tris[..., None]    # [M,6,2]
 
@@ -113,16 +123,30 @@ def _cell_triangles(corner_vals: jnp.ndarray, corner_pos: jnp.ndarray,
     cj = jnp.maximum(tri_edges[..., 1], 0)
 
     m = corner_vals.shape[0]
+
+    def pick(idx, data):
+        """One-hot gather over the 8-corner axis: idx [M,36], data [M,8,D]."""
+        oh = (idx[..., None]
+              == jnp.arange(8, dtype=jnp.int32)).astype(data.dtype)
+        return jnp.einsum("mse,med->msd", oh, data)
+
     flat_idx_i = ci.reshape(m, -1)                     # [M,36]
     flat_idx_j = cj.reshape(m, -1)
-    vi = jnp.take_along_axis(corner_vals, flat_idx_i, axis=1).reshape(ci.shape)
-    vj = jnp.take_along_axis(corner_vals, flat_idx_j, axis=1).reshape(ci.shape)
-    pi = jnp.take_along_axis(corner_pos, flat_idx_i[..., None], axis=1
-                             ).reshape(ci.shape + (3,))
-    pj = jnp.take_along_axis(corner_pos, flat_idx_j[..., None], axis=1
-                             ).reshape(ci.shape + (3,))
-    gi = jnp.take_along_axis(corner_gid, flat_idx_i, axis=1).reshape(ci.shape)
-    gj = jnp.take_along_axis(corner_gid, flat_idx_j, axis=1).reshape(ci.shape)
+    vals3 = corner_vals[..., None]
+    # gids reach R^3 > 2^24 (f32 exact-integer limit): pick hi/lo halves
+    gid_parts = jnp.stack([corner_gid // 4096, corner_gid % 4096],
+                          axis=-1).astype(jnp.float32)
+    vi = pick(flat_idx_i, vals3)[..., 0].reshape(ci.shape)
+    vj = pick(flat_idx_j, vals3)[..., 0].reshape(ci.shape)
+    pi = pick(flat_idx_i, corner_pos).reshape(ci.shape + (3,))
+    pj = pick(flat_idx_j, corner_pos).reshape(ci.shape + (3,))
+
+    def pick_gid(idx):
+        parts = pick(idx, gid_parts).round().astype(jnp.int32)
+        return (parts[..., 0] * 4096 + parts[..., 1]).reshape(ci.shape)
+
+    gi = pick_gid(flat_idx_i)
+    gj = pick_gid(flat_idx_j)
 
     denom = vj - vi
     t = jnp.where(jnp.abs(denom) > 1e-12, (iso - vi) / denom, 0.5)
