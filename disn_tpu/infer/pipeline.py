@@ -32,6 +32,24 @@ def predict_volume(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                    block: int = 65536, mesh: Any = None) -> np.ndarray:
     if img.ndim == 3:
         img = img[None]
+    if cfg.variant.value == "threedcnn":
+        # volume decoder: one forward emits the fixed 65^3 grid directly
+        # (models/sdfnet.py get_sdf_3dcnn path; create_sdf.py SPLIT_SIZE=1)
+        import jax
+        import jax.numpy as jnp
+        from disn_tpu.models import disn as disn_mod
+
+        @jax.jit
+        def fwd(params, img):
+            eps = disn_mod.apply(params, {"img": img,
+                                          "sample_pc": jnp.zeros((1, 1, 3)),
+                                          "trans_mat": jnp.zeros((1, 4, 3))},
+                                 cfg)
+            return dense_mod.scale_pred(eps["pred_sdf"], cfg)
+
+        vals = np.asarray(fwd(params, jnp.asarray(img)))[0]
+        r = round(len(vals) ** (1 / 3))
+        return vals.reshape(r, r, r)
     if sparse and cfg.sdf_res % 4 == 0:
         return sparse_mod.sparse_dense_sdf(params, img, trans_mat, sdf_params,
                                            cfg, block=block)

@@ -38,7 +38,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
         ]
         _lib = lib
         return lib
@@ -46,10 +46,12 @@ def _load() -> ctypes.CDLL:
 
 def compute_distance_field(verts: np.ndarray, faces: np.ndarray, res: int,
                            bbox: np.ndarray, sign_votes: int = 3,
-                           threads: int = 0) -> np.ndarray:
+                           threads: int = 0, band: float = 0.0) -> np.ndarray:
     """Signed distance field on a (res+1)^3 grid (z,y,x indexed, x fastest).
 
     verts [V,3] float32, faces [F,3] int32, bbox [6] (x0 y0 z0 x1 y1 z1).
+    band > 0 = narrow-band mode (exact within `band` of the surface, coarse
+    interpolation beyond — the Vega -g semantics; ~10-20x faster at 256^3).
     """
     lib = _load()
     verts = np.ascontiguousarray(verts, dtype=np.float32)
@@ -63,7 +65,7 @@ def compute_distance_field(verts: np.ndarray, faces: np.ndarray, res: int,
         np.int32(len(faces)), np.int32(res),
         bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        np.int32(sign_votes), np.int32(threads))
+        np.int32(sign_votes), np.int32(threads), ctypes.c_double(band))
     if rc:
         raise RuntimeError(f"compute_distance_field failed (rc={rc})")
     return out.reshape(res + 1, res + 1, res + 1)

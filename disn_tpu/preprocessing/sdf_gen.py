@@ -111,7 +111,10 @@ def generate_object(verts: np.ndarray, faces: np.ndarray, out_dir: str,
     norm_verts, centroid, m, surf = normalize_mesh(verts, faces, seed=seed)
     half = float(np.abs(norm_verts).max() * expand_rate)
     bbox = np.array([-half] * 3 + [half] * 3, np.float64)
-    vol = native.compute_distance_field(norm_verts, faces, sdf_res, bbox)
+    # narrow band = sampling bandwidth + a safety margin (the reference runs
+    # Vega with -g 0.1 = the same bandwidth, create_point_sdf_grid.py:331-335)
+    vol = native.compute_distance_field(norm_verts, faces, sdf_res, bbox,
+                                        band=2.0 * bandwidth)
 
     if check_insideout(cat_id, vol):
         # inverted mesh: flip the field and mark it (reference writes a flag

@@ -49,6 +49,11 @@ float clampf(float v, float lo, float hi) {
   return v < lo ? lo : (v > hi ? hi : v);
 }
 
+inline Vec3 p_from(int32_t x, int32_t y, int32_t z, double x0, double y0,
+                   double z0, double sx, double sy, double sz) {
+  return {(float)(x0 + x * sx), (float)(y0 + y * sy), (float)(z0 + z * sz)};
+}
+
 // squared distance from point to triangle (Ericson, Real-Time Collision
 // Detection §5.1.5 — standard barycentric region walk)
 float point_tri_dist2(const Vec3& p, const Vec3& a, const Vec3& b,
@@ -250,12 +255,18 @@ extern "C" {
 
 // Computes the signed distance field on a (res+1)^3 grid over bbox
 // [lo, hi]^3 (x fastest). sign_votes in {1,3}: number of axes used for the
-// inside/outside parity vote. Returns 0 on success.
+// inside/outside parity vote. band > 0 enables the narrow-band mode matching
+// the reference Vega invocation (-g band, create_point_sdf_grid.py:200-207):
+// distances farther than `band` from the surface are coarse-grid
+// interpolations (magnitude only; signs stay exact from the parity votes) —
+// the consumers (stratified band sampling, iso~0.003 marching cubes) never
+// read exact values there. Returns 0 on success.
 int compute_distance_field(const float* verts, int32_t n_verts,
                            const int32_t* tris, int32_t n_tris, int32_t res,
                            const double* bbox,  // x0 y0 z0 x1 y1 z1
                            float* out,          // [(res+1)^3]
-                           int32_t sign_votes, int32_t n_threads) {
+                           int32_t sign_votes, int32_t n_threads,
+                           double band) {
   if (n_tris <= 0 || res <= 0) return 1;
   BVH bvh;
   bvh.build(verts, n_verts, tris, n_tris);
@@ -324,6 +335,59 @@ int compute_distance_field(const float* verts, int32_t n_verts,
   for (int a = 0; a < axes; a++) parity_axis(a);
   uint8_t need = axes >= 3 ? 2 : 1;  // majority
 
+  // optional coarse pre-pass for narrow-band mode: exact distances on every
+  // stride-th grid point; far fine points interpolate it
+  const int32_t stride = 4;
+  std::vector<float> coarse;
+  int32_t Rc = 0;
+  bool banded = band > 0 && res % stride == 0;
+  if (banded) {
+    Rc = res / stride + 1;
+    coarse.resize((size_t)Rc * Rc * Rc);
+    std::atomic<int32_t> next(0);
+    auto cwork = [&]() {
+      int32_t z;
+      while ((z = next.fetch_add(1)) < Rc) {
+        for (int32_t y = 0; y < Rc; y++) {
+          float best = 1e30f;
+          for (int32_t x = 0; x < Rc; x++) {
+            Vec3 p = {(float)(x0 + (double)x * stride * sx),
+                      (float)(y0 + (double)y * stride * sy),
+                      (float)(z0 + (double)z * stride * sz)};
+            float cap = best > 1e29f
+                ? 1e30f : (std::sqrt(best) + (float)(stride * sx) + 1e-6f);
+            best = bvh.nearest2(p, cap > 1e29f ? 1e30f : cap * cap);
+            coarse[((size_t)z * Rc + y) * Rc + x] = std::sqrt(best);
+          }
+        }
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(cwork);
+    for (auto& t : pool) t.join();
+  }
+  const float margin =
+      (float)(stride * sx * 1.7320508);  // coarse cell diagonal
+
+  auto coarse_interp = [&](int32_t x, int32_t y, int32_t z) -> float {
+    // trilinear over the coarse cell containing fine point (x, y, z)
+    int32_t cx = std::min(x / stride, Rc - 2), cy = std::min(y / stride, Rc - 2),
+            cz = std::min(z / stride, Rc - 2);
+    float fx = (float)(x - cx * stride) / stride;
+    float fy = (float)(y - cy * stride) / stride;
+    float fz = (float)(z - cz * stride) / stride;
+    auto at = [&](int32_t dz, int32_t dy, int32_t dx) {
+      return coarse[((size_t)(cz + dz) * Rc + cy + dy) * Rc + cx + dx];
+    };
+    float c00 = at(0, 0, 0) * (1 - fx) + at(0, 0, 1) * fx;
+    float c01 = at(0, 1, 0) * (1 - fx) + at(0, 1, 1) * fx;
+    float c10 = at(1, 0, 0) * (1 - fx) + at(1, 0, 1) * fx;
+    float c11 = at(1, 1, 0) * (1 - fx) + at(1, 1, 1) * fx;
+    float c0 = c00 * (1 - fy) + c01 * fy;
+    float c1 = c10 * (1 - fy) + c11 * fy;
+    return c0 * (1 - fz) + c1 * fz;
+  };
+
   // distances, multithreaded over z-slabs
   {
     std::atomic<int32_t> next(0);
@@ -333,14 +397,19 @@ int compute_distance_field(const float* verts, int32_t n_verts,
         for (int32_t y = 0; y < R; y++) {
           float best = 1e30f;  // warm start: previous cell's best + step
           for (int32_t x = 0; x < R; x++) {
-            Vec3 p = {(float)(x0 + x * sx), (float)(y0 + y * sy),
-                      (float)(z0 + z * sz)};
-            // distance can grow at most one step between neighbors
-            float cap = best > 1e29f ? 1e30f
-                                     : (std::sqrt(best) + (float)sx + 1e-6f);
-            best = bvh.nearest2(p, cap > 1e29f ? 1e30f : cap * cap);
             size_t idx = ((size_t)z * R + y) * R + x;
-            float d = std::sqrt(best);
+            float d;
+            float approx = banded ? coarse_interp(x, y, z) : 0.0f;
+            if (banded && approx - margin > (float)band) {
+              d = approx;  // provably outside the band: keep the interp
+              best = 1e30f;
+            } else {
+              float cap = best > 1e29f
+                  ? 1e30f : (std::sqrt(best) + (float)sx + 1e-6f);
+              best = bvh.nearest2(p_from(x, y, z, x0, y0, z0, sx, sy, sz),
+                                  cap > 1e29f ? 1e30f : cap * cap);
+              d = std::sqrt(best);
+            }
             out[idx] = votes[idx] >= need ? -d : d;
           }
           best = 1e30f;
@@ -395,7 +464,7 @@ int main(int argc, char** argv) {
   if (argc < 5) {
     std::fprintf(stderr,
                  "usage: %s <in.obj> <res> <expand_rate> <out.dist> "
-                 "[sign_votes=3] [threads=0]\n",
+                 "[sign_votes=3] [threads=0] [band=0]\n",
                  argv[0]);
     return 2;
   }
@@ -409,6 +478,7 @@ int main(int argc, char** argv) {
   double expand = std::atof(argv[3]);
   int votes = argc > 5 ? std::atoi(argv[5]) : 3;
   int threads = argc > 6 ? std::atoi(argv[6]) : 0;
+  double band = argc > 7 ? std::atof(argv[7]) : 0.0;
 
   // bbox: symmetric cube around the mesh extent, expanded (the reference
   // expands the unit-normalized mesh bbox by expand_rate,
@@ -421,7 +491,7 @@ int main(int argc, char** argv) {
   std::vector<float> out((size_t)(res + 1) * (res + 1) * (res + 1));
   if (compute_distance_field(verts.data(), (int32_t)(verts.size() / 3),
                              tris.data(), (int32_t)(tris.size() / 3), res,
-                             bbox, out.data(), votes, threads)) {
+                             bbox, out.data(), votes, threads, band)) {
     return 1;
   }
   std::ofstream o(argv[4], std::ios::binary);

@@ -75,3 +75,18 @@ def test_cli_dist_format(sphere_mesh, tmp_path):
     assert df.values[8, 8, 8] < 0
     # corners outside
     assert df.values[0, 0, 0] > 0
+
+
+def test_banded_matches_exact_in_band(sphere_mesh):
+    verts, faces = sphere_mesh
+    bbox = np.array([-1, -1, -1, 1, 1, 1], np.float64)
+    exact = native.compute_distance_field(verts, faces, 32, bbox)
+    banded = native.compute_distance_field(verts, faces, 32, bbox, band=0.1)
+    band_mask = np.abs(exact) < 0.1
+    np.testing.assert_allclose(banded[band_mask], exact[band_mask],
+                               atol=1e-5)
+    # signs exact everywhere (parity pass is always full-resolution)
+    assert (np.sign(banded) == np.sign(exact)).all()
+    # far field stays a sane distance approximation
+    far = np.abs(exact) > 0.3
+    assert np.abs(banded[far] - exact[far]).max() < 0.06
