@@ -74,18 +74,21 @@ def _decode_block(params: Params, endpoints: dict[str, jnp.ndarray],
                         params["sdfprediction"], pts_b, embedding, cd)
                     + sdfnet.apply_local_head_folded(
                         params["sdfprediction_imgfeat"], pts_b, contrib, cd))
+        elif cfg.variant is Variant.TWOSTREAM:
+            # split-matmul decode: per-scale samples feed fold2 directly;
+            # no [N, 1984] concat buffer materializes (see
+            # sdfnet.apply_two_stream_split)
+            feats = [sample(endpoints[n], px, cfg.img_h, cfg.img_w)
+                     for n in names]
+            pred = sdfnet.apply_two_stream_split(
+                params["sdfprediction"], params["sdfprediction_imgfeat"],
+                pts_b, embedding, feats, cd)
         else:
             local = jnp.concatenate([
                 sample(endpoints[n], px, cfg.img_h, cfg.img_w)
                 for n in names], axis=-1)
-            if cfg.variant is Variant.TWOSTREAM:
-                pred = (sdfnet.apply_global_head(
-                            params["sdfprediction"], pts_b, embedding, cd)
-                        + sdfnet.apply_local_head(
-                            params["sdfprediction_imgfeat"], pts_b, local, cd))
-            else:
-                pred = sdfnet.apply_onestream_head(
-                    params["sdfimgfeat"], pts_b, embedding, local, cd)
+            pred = sdfnet.apply_onestream_head(
+                params["sdfimgfeat"], pts_b, embedding, local, cd)
     elif cfg.variant is Variant.GLOBAL:
         pred = sdfnet.apply_global_head(params["sdfprediction"], pts_b,
                                         embedding, cd)

@@ -93,11 +93,16 @@ def make_sparse_dense_sdf_fn(cfg: Config, stride: int = 4,
     coarse_cfg = _coarse_grid_cfg(cfg, stride)
     rc = coarse_cfg.grid_resolution
     n_cells = (rc - 1) ** 3
-    cell_cap = max(256, int(n_cells * cell_cap_frac))
     pts_per_cell = stride ** 3
+    cell_cap = max(256, int(n_cells * cell_cap_frac))
+    block = min(block, cell_cap * pts_per_cell)
+    # whole number of cells per block, cap a whole number of blocks: the
+    # fine pass then slices cell ids contiguously without edge clamping
+    block = max(pts_per_cell, (block // pts_per_cell) * pts_per_cell)
+    cells_per_block = block // pts_per_cell
+    cell_cap = -(-cell_cap // cells_per_block) * cells_per_block
     total_fine = cell_cap * pts_per_cell
-    block = min(block, total_fine)
-    padded_fine = -(-total_fine // block) * block
+    padded_fine = total_fine
 
     coarse_fn_total = -(-rc ** 3 // block) * block
     fold = False  # see dense.make_dense_sdf_fn: gather-bound backend
@@ -126,7 +131,11 @@ def make_sparse_dense_sdf_fn(cfg: Config, stride: int = 4,
             q = i * block + jnp.arange(block, dtype=jnp.int32)
             slot = q // pts_per_cell
             off = q % pts_per_cell
-            cell = cell_ids[jnp.minimum(slot, cell_cap - 1)]
+            # slots in a block are contiguous: one small dynamic slice +
+            # repeat instead of a per-point gather (profiled at ~19ms/image)
+            block_cells = jax.lax.dynamic_slice_in_dim(
+                cell_ids, i * cells_per_block, cells_per_block)
+            cell = jnp.repeat(block_cells, pts_per_cell)
             cz = cell // (c * c)
             cy = (cell // c) % c
             cx = cell % c

@@ -99,6 +99,58 @@ def split_local_fold2(params: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
     return w[:512], w[512:]
 
 
+def apply_two_stream_split(global_params: dict, local_params: dict,
+                           pts: jnp.ndarray, global_feat: jnp.ndarray,
+                           local_feats: list[jnp.ndarray],
+                           compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Two-stream decode with the fold2/conv1 matmuls SPLIT per input block:
+    concat(x1..xn) @ W == sum(x_i @ W_i), so the [N,512+1472] concat buffer
+    (and the [N,1024+512] one in the global stream) never materializes —
+    profiling showed its assembly costing ~15% of dense inference.
+    local_feats: per-scale sampled features [B,N,C_s] in vgg.ENDPOINTS order.
+    Numerically identical to apply_global_head + apply_local_head up to bf16
+    summation order."""
+    cd = compute_dtype
+
+    def fold1(params, h):
+        h = layers.dense(params["fold1"]["conv1"], h, compute_dtype=cd)
+        h = layers.dense(params["fold1"]["conv2"], h, compute_dtype=cd)
+        return layers.dense(params["fold1"]["conv3"], h, compute_dtype=cd)
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x.astype(cd), w.astype(cd),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))
+
+    def tail(params, pre):
+        h = jax.nn.relu(pre)
+        h = layers.dense(params["fold2"]["conv2"], h, compute_dtype=cd)
+        last = "conv5_bi" if "conv5_bi" in params["fold2"] else "conv5"
+        return layers.dense(params["fold2"][last], h, relu=False,
+                            compute_dtype=cd)
+
+    # global stream: concat(fold1, tiled global) @ W -> split
+    hg = fold1(global_params, pts)
+    wg = global_params["fold2"]["conv1"]["weights"]
+    g_contrib = mm(global_feat, wg[512:])[:, None, :]  # [B,1,512] broadcast
+    pre_g = (mm(hg, wg[:512]) + g_contrib
+             + global_params["fold2"]["conv1"]["biases"].astype(cd))
+    pred_g = tail(global_params, pre_g)
+
+    # local stream: concat(fold1, scale_1..scale_5) @ W -> split per scale
+    hl = fold1(local_params, pts)
+    wl = local_params["fold2"]["conv1"]["weights"]
+    pre_l = mm(hl, wl[:512]) + \
+        local_params["fold2"]["conv1"]["biases"].astype(cd)
+    off = 512
+    for feat in local_feats:
+        c = feat.shape[-1]
+        pre_l = pre_l + mm(feat, wl[off:off + c])
+        off += c
+    pred_l = tail(local_params, pre_l)
+    return pred_g + pred_l
+
+
 def apply_local_head_folded(params: dict, pts: jnp.ndarray,
                             local_contrib: jnp.ndarray,
                             compute_dtype=jnp.float32) -> jnp.ndarray:
