@@ -335,9 +335,13 @@ def cmd_create_sdf(args) -> None:
                    f"{len(listinfo)} views")
     donor = checkpoint.restore_params(args.restore)
     params = donor.get("params", donor)
-    written = infer_pipeline.reconstruct_split(
-        params, cfg, paths, listinfo, args.log_dir, cam_est=args.cam_est,
-        sparse=not args.dense, logger=logger)
+    if args.multi_view:
+        written = infer_pipeline.reconstruct_multiview(
+            params, cfg, paths, listinfo, args.log_dir, logger=logger)
+    else:
+        written = infer_pipeline.reconstruct_split(
+            params, cfg, paths, listinfo, args.log_dir, cam_est=args.cam_est,
+            sparse=not args.dense, logger=logger)
     logger.log(f"wrote {len(written)} meshes")
     logger.close()
 
@@ -477,6 +481,22 @@ def cmd_clean(args) -> None:
         print(f"cleaned {src} -> {dst}")
 
 
+def cmd_convert_ckpt(args) -> None:
+    """TF1 bundle checkpoint -> disn_tpu npz (convert/tf_ckpt.py)."""
+    from disn_tpu.convert import convert_checkpoint
+    params = convert_checkpoint(args.tf_prefix, args.out)
+    n = sum(1 for _ in _walk_leaves(params))
+    print(f"converted {n} tensors from {args.tf_prefix} -> {args.out}")
+
+
+def _walk_leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _walk_leaves(v)
+        else:
+            yield v
+
+
 def cmd_synth(args) -> None:
     from disn_tpu.data import synthetic
     info = synthetic.build_dataset(args.out_dir, views=args.views,
@@ -534,6 +554,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="this worker's index in a reconstruction farm")
     p.add_argument("--shards", type=int, default=1,
                    help="total farm workers (launch one process per chip)")
+    p.add_argument("--multi-view", action="store_true",
+                   help="fuse all views per object (feature averaging)")
     p.set_defaults(fn=cmd_create_sdf)
 
     p = sub.add_parser("demo", help="single image -> mesh")
@@ -590,6 +612,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vert-ratio", type=float, default=0.3)
     p.add_argument("--center-dist", type=float, default=0.5)
     p.set_defaults(fn=cmd_clean)
+
+    p = sub.add_parser("convert-ckpt",
+                       help="convert a TF1 bundle checkpoint to npz")
+    p.add_argument("--tf-prefix", required=True,
+                   help="TF checkpoint prefix (model.ckpt of .index/.data)")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_convert_ckpt)
 
     p = sub.add_parser("synth")
     p.add_argument("--out-dir", required=True)

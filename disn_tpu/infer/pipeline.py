@@ -80,6 +80,37 @@ def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     return volume_to_mesh(vol, sdf_params, iso=iso, clean=clean)
 
 
+def reconstruct_multiview(params: Params, cfg: Config, paths, listinfo,
+                          log_dir: str, logger: Any = None) -> list[str]:
+    """--multi_view path: per object, fuse ALL views' features and write one
+    mesh {cat}_{obj}_fused.obj (reference get_decoder flow,
+    model_normalization.py:223-238)."""
+    from disn_tpu.infer import multiview
+
+    by_obj: dict[tuple[str, str], list[int]] = {}
+    for cat_id, obj, view in listinfo:
+        by_obj.setdefault((cat_id, obj), []).append(view)
+    out_root = result_dir(log_dir, cfg) + "_mv"
+    written = []
+    for (cat_id, obj), views in sorted(by_obj.items()):
+        imgs, mats = [], []
+        for v in sorted(views):
+            rec = codecs.read_view_h5(paths.img_path(cat_id, obj, v))
+            imgs.append(rec.img_arr[:, :, :cfg.img_channels]
+                        .astype(np.float32) / 255.0)
+            mats.append(rec.trans_mat)
+        sdf = codecs.read_sdf_h5(paths.sdf_path(cat_id, obj))
+        vol = multiview.multiview_sdf(params, np.stack(imgs), np.stack(mats),
+                                      sdf.sdf_params, cfg)
+        verts, faces = volume_to_mesh(vol, sdf.sdf_params, iso=cfg.iso)
+        out = os.path.join(out_root, cat_id, f"{cat_id}_{obj}_fused.obj")
+        codecs.write_obj(out, verts, faces)
+        written.append(out)
+        if logger:
+            logger.log(f"fused {len(views)} views: {cat_id}/{obj}")
+    return written
+
+
 def result_dir(log_dir: str, cfg: Config, cam_est: bool = False) -> str:
     tag = f"{cfg.grid_resolution}_{cfg.iso}"
     if cam_est:

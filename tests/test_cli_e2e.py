@@ -135,3 +135,55 @@ def test_train_resume(workdir):
               "--dump-every", "0", "--resume", run] + _set_args())
     step2 = checkpoint.load_metadata(os.path.join(run, "latest.npz"))["step"]
     assert step2 == 2 * step1
+
+
+def test_multiview_and_demo_asset(workdir, tmp_path):
+    """--multi-view reconstruction + the bundled demo asset path."""
+    data = str(workdir / "data")
+    if not os.path.exists(os.path.join(data, "filelists")):
+        cli.main(["synth", "--out-dir", data, "--views", "2",
+                  "--num-samples", "1024", "--grid-res", "16"])
+    run = str(workdir / "mv_run")
+    import jax
+    from disn_tpu.config import Config
+    from disn_tpu.models import disn
+    from disn_tpu.train import checkpoint
+    cfg = cli.apply_overrides(Config(), SET)
+    params = disn.init(cfg, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "mv.npz")
+    checkpoint.save(ckpt, {"params": jax.tree_util.tree_map(
+        np.asarray, params)})
+    cli.main(["create-sdf", "--data-root", data, "--log-dir", run,
+              "--restore", ckpt, "--split", "test", "--multi-view"]
+             + _set_args())
+    out = os.path.join(run, "test_objs", "17_0.0_mv", "99999999")
+    names = sorted(os.listdir(out))
+    assert names == ["99999999_box0_fused.obj", "99999999_sphere0_fused.obj",
+                     "99999999_torus0_fused.obj"]
+
+    # bundled demo asset (repo-generated torus view)
+    out_obj = str(tmp_path / "demo_torus.obj")
+    cli.main(["demo", "--image", "demo/torus.h5", "--restore", ckpt,
+              "--out", out_obj, "--dense"] + _set_args())
+    assert os.path.exists(out_obj)
+
+
+def test_convert_ckpt_cli(tmp_path):
+    pytest.importorskip("tensorflow")
+    import tensorflow.compat.v1 as tf1
+    tf1.disable_eager_execution()
+    prefix = str(tmp_path / "m.ckpt")
+    g = tf1.Graph()
+    with g.as_default():
+        v = tf1.get_variable("sdfprediction/fold1/conv1/weights",
+                             initializer=np.ones((1, 1, 3, 64), np.float32))
+        saver = tf1.train.Saver([v])
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, prefix, write_meta_graph=False,
+                       write_state=False)
+    out = str(tmp_path / "conv.npz")
+    cli.main(["convert-ckpt", "--tf-prefix", prefix, "--out", out])
+    from disn_tpu.train import checkpoint
+    params = checkpoint.restore_params(out)["params"]
+    assert params["sdfprediction"]["fold1"]["conv1"]["weights"].shape == (3, 64)
