@@ -274,10 +274,21 @@ def weld(tri_pos: np.ndarray, tri_keys: np.ndarray, count: int
     (repeated welded vertex — tet faces lying exactly on the iso) are dropped.
     """
     tri_pos = np.asarray(tri_pos[:count]).reshape(-1, 3)
-    keys = np.asarray(tri_keys[:count]).reshape(-1, 2).astype(np.int64)
-    flat = keys[:, 0] << 32 | keys[:, 1]
-    uniq, inv = np.unique(flat, return_inverse=True)
-    verts = np.zeros((uniq.size, 3), np.float32)
+    keys = np.asarray(tri_keys[:count]).reshape(-1, 2)
+    flat = keys[:, 0].astype(np.int64) << 32 | keys[:, 1].astype(np.int64)
+    # manual unique+inverse (argsort + diff): ~6x faster than np.unique's
+    # return_inverse path on the single-core eval hosts
+    order = np.argsort(flat, kind="stable")
+    s = flat[order]
+    first = np.empty(len(s), bool)
+    if len(s):
+        first[0] = True
+        np.not_equal(s[1:], s[:-1], out=first[1:])
+    uid = np.cumsum(first) - 1
+    inv = np.empty(len(s), np.int64)
+    inv[order] = uid
+    n_unique = int(uid[-1]) + 1 if len(s) else 0
+    verts = np.zeros((n_unique, 3), np.float32)
     verts[inv] = tri_pos  # last-writer wins; positions per key are identical
     faces = inv.reshape(-1, 3).astype(np.int32)
     ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
