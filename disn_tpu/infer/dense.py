@@ -223,8 +223,11 @@ def make_sharded_dense_sdf_fn(cfg: Config, mesh: Mesh, block: int = 65536):
 
 def dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
               sdf_params: np.ndarray, cfg: Config, block: int = 65536,
-              mesh: Mesh | None = None) -> np.ndarray:
-    """Convenience wrapper returning a host numpy volume."""
+              mesh: Mesh | None = None,
+              device_out: bool = False) -> np.ndarray:
+    """Convenience wrapper. device_out=True keeps the volume on device so a
+    downstream on-device consumer (marching tets) avoids the host round trip
+    — on tunneled TPU hosts the 67MB volume transfer costs seconds."""
     if mesh is not None and mesh.shape[POINT_AXIS] > 1:
         fn = make_sharded_dense_sdf_fn(cfg, mesh, block)
         params = jax.device_put(params, NamedSharding(mesh, P()))
@@ -232,4 +235,4 @@ def dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         fn = make_dense_sdf_fn(cfg, block)
     vol = fn(params, jnp.asarray(img), jnp.asarray(trans_mat),
              jnp.asarray(sdf_params))
-    return np.asarray(vol)
+    return vol if device_out else np.asarray(vol)

@@ -52,9 +52,9 @@ def predict_volume(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         return vals.reshape(r, r, r)
     if sparse and cfg.sdf_res % 4 == 0:
         return sparse_mod.sparse_dense_sdf(params, img, trans_mat, sdf_params,
-                                           cfg, block=block)
+                                           cfg, block=block, device_out=True)
     return dense_mod.dense_sdf(params, img, trans_mat, sdf_params, cfg,
-                               block=block, mesh=mesh)
+                               block=block, mesh=mesh, device_out=True)
 
 
 def volume_to_mesh(vol: np.ndarray, sdf_params: np.ndarray, iso: float = 0.0,

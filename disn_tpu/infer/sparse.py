@@ -209,8 +209,10 @@ def make_sparse_dense_sdf_fn(cfg: Config, stride: int = 4,
 def sparse_dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                      sdf_params: np.ndarray, cfg: Config, stride: int = 4,
                      block: int = 65536, cell_cap_frac: float = 0.25,
-                     band_factor: float = 1.5) -> np.ndarray:
-    """Host wrapper: sparse fast path with exact-dense fallback on overflow."""
+                     band_factor: float = 1.5,
+                     device_out: bool = False) -> np.ndarray:
+    """Host wrapper: sparse fast path with exact-dense fallback on overflow.
+    device_out=True keeps the volume on device (see dense.dense_sdf)."""
     fn, cap = make_sparse_dense_sdf_fn(cfg, stride=stride, block=block,
                                        cell_cap_frac=cell_cap_frac,
                                        band_factor=band_factor)
@@ -219,5 +221,5 @@ def sparse_dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                     jnp.asarray(sdf_params))
     if int(count) > cap:
         return dense_mod.dense_sdf(params, img, trans_mat, sdf_params, cfg,
-                                   block=block)
-    return np.asarray(vol)
+                                   block=block, device_out=device_out)
+    return vol if device_out else np.asarray(vol)
