@@ -147,6 +147,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@functools.lru_cache(maxsize=32)
 def make_dense_sdf_fn(cfg: Config, block: int = 65536,
                       fold_local: bool | None = None):
     """Single-device jitted fn: (params, img[1,H,W,C], trans_mat[4,3],
@@ -174,6 +175,7 @@ def make_dense_sdf_fn(cfg: Config, block: int = 65536,
     return fn
 
 
+@functools.lru_cache(maxsize=8)
 def make_sharded_dense_sdf_fn(cfg: Config, mesh: Mesh, block: int = 65536):
     """Multi-chip jitted fn: the flat grid index space is split into equal
     contiguous slabs over the mesh 'points' axis; every device streams its own

@@ -59,7 +59,8 @@ def predict_volume(params: Params, img: np.ndarray, trans_mat: np.ndarray,
 
 def volume_to_mesh(vol: np.ndarray, sdf_params: np.ndarray, iso: float = 0.0,
                    clean: bool = False) -> tuple[np.ndarray, np.ndarray]:
-    verts, faces = marching.extract_mesh(vol, sdf_params, iso=iso)
+    # device-chained path: MC + weld on device, fetch only sliced buffers
+    verts, faces = marching.extract_mesh_device(vol, sdf_params, iso=iso)
     if clean and len(faces):
         verts, faces = clean_small_parts(verts, faces)
     return verts, faces

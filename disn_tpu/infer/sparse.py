@@ -81,6 +81,10 @@ def _active_cells(vol_c: jnp.ndarray, tau: jnp.ndarray, max_cells: int
     return ids, csum[-1]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def make_sparse_dense_sdf_fn(cfg: Config, stride: int = 4,
                              block: int = 65536,
                              cell_cap_frac: float = 0.25,

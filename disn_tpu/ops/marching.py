@@ -266,6 +266,65 @@ def marching_tets_jit(volume, sdf_params, iso: float = 0.0,
     return marching_tets(volume, sdf_params, iso=iso, max_tris=max_tris)
 
 
+@jax.jit
+def weld_device(tri_pos: jnp.ndarray, tri_keys: jnp.ndarray,
+                count: jnp.ndarray):
+    """On-device vertex welding (the host version costs seconds on the
+    single-core eval machines, plus a full capped-buffer fetch).
+
+    tri_pos [cap,3,3], tri_keys [cap,3,2] i32, count traced scalar.
+    Returns (verts [cap*3,3] (first n_verts valid), faces [cap,3] i32,
+    n_verts). int64 is unavailable on TPU by default, so the lexicographic
+    (hi, lo) key order comes from two STABLE argsorts (radix style).
+    """
+    cap = tri_pos.shape[0]
+    n = cap * 3
+    pos = tri_pos.reshape(n, 3)
+    hi = tri_keys[..., 0].reshape(n)
+    lo = tri_keys[..., 1].reshape(n)
+    slot_valid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] \
+        < count * 3
+    big = jnp.int32(2 ** 31 - 1)
+    hi = jnp.where(slot_valid, hi, big)
+    lo = jnp.where(slot_valid, lo, big)
+    order1 = jnp.argsort(lo, stable=True)
+    order = order1[jnp.argsort(hi[order1], stable=True)]
+    hs, ls = hi[order], lo[order]
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])])
+    uid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(uid)
+    verts = jnp.zeros((n, 3), jnp.float32).at[uid].set(pos[order])
+    n_verts = uid[-1] + 1 - jnp.where(count * 3 < n, 1, 0)  # drop pad key
+    faces = inv.reshape(cap, 3)
+    return verts, faces, n_verts
+
+
+def extract_mesh_device(volume, sdf_params, iso: float = 0.0,
+                        max_tris: int | None = None
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Device-chained extraction: volume (device or host) -> MC -> weld on
+    device; only the count-sliced vertex/face buffers reach the host."""
+    R = volume.shape[0]
+    if max_tris is None:
+        max_tris = min(12 * (R - 1) ** 3, max(1 << 16, 16 * (R - 1) ** 2))
+    vol = jnp.asarray(volume, jnp.float32)
+    tri_pos, tri_keys, count = marching_tets_jit(
+        vol, jnp.asarray(sdf_params, jnp.float32), iso=float(iso),
+        max_tris=int(max_tris))
+    verts_d, faces_d, n_verts_d = weld_device(tri_pos, tri_keys, count)
+    c = int(count)
+    if c > max_tris:
+        raise ValueError(f"triangle overflow: {c} > cap {max_tris}")
+    nv = int(n_verts_d)
+    verts = np.asarray(verts_d[:nv])
+    faces = np.asarray(faces_d[:c])
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+          & (faces[:, 0] != faces[:, 2]))
+    return verts, faces[ok]
+
+
 def weld(tri_pos: np.ndarray, tri_keys: np.ndarray, count: int
          ) -> tuple[np.ndarray, np.ndarray]:
     """Host-side exact vertex welding via canonical grid-edge keys.

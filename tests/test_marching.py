@@ -94,3 +94,25 @@ def test_overflow_detection():
     assert int(count) > 8  # count keeps increasing; extract_mesh raises
     with pytest.raises(ValueError):
         marching.extract_mesh(vol, PARAMS, max_tris=8)
+
+
+def test_device_weld_matches_host():
+    vol = sphere_volume(R=17)
+    host_v, host_f = marching.extract_mesh(vol, PARAMS)
+    dev_v, dev_f = marching.extract_mesh_device(vol, PARAMS)
+    assert len(dev_v) == len(host_v)
+    assert len(dev_f) == len(host_f)
+    # same welded topology up to vertex relabeling: compare sorted vertex
+    # sets and per-face vertex-position triples
+    np.testing.assert_allclose(np.sort(dev_v, axis=0),
+                               np.sort(host_v, axis=0), atol=1e-6)
+    tri_h = np.sort(host_v[host_f].reshape(len(host_f), -1), axis=1)
+    tri_d = np.sort(dev_v[dev_f].reshape(len(dev_f), -1), axis=1)
+    np.testing.assert_allclose(np.sort(tri_h, axis=0),
+                               np.sort(tri_d, axis=0), atol=1e-6)
+
+
+def test_device_weld_empty():
+    vol = np.ones((9, 9, 9), np.float32)
+    v, f = marching.extract_mesh_device(vol, PARAMS)
+    assert len(v) == 0 and len(f) == 0
