@@ -82,8 +82,10 @@ class SdfImageDataset:
         self.listinfo = listinfo
         self.rng = np.random.RandomState(seed + 1)
         self._sdf_cache: dict[str, codecs.SdfSamples] = {}
+        self._view_cache: dict[str, codecs.ViewRecord] = {}
         self._cache_lock = threading.Lock()
         self.cache_size = 8192
+        self.view_cache_size = 4096
 
     def _load_sdf(self, cat_id: str, obj: str) -> codecs.SdfSamples:
         key = f"{cat_id}/{obj}"
@@ -124,10 +126,23 @@ class SdfImageDataset:
             raw[alpha[:, 0], alpha[:, 1]]
         return out, np.asarray([x_shift, y_shift], np.float32) * 2.0 / h
 
+    def _read_view(self, cat_id: str, obj: str, view: int
+                   ) -> codecs.ViewRecord:
+        key = f"{cat_id}/{obj}/{view}"
+        with self._cache_lock:
+            hit = self._view_cache.get(key)
+        if hit is not None:
+            return hit
+        rec = codecs.read_view_h5(self.paths.img_path(cat_id, obj, view))
+        with self._cache_lock:
+            if len(self._view_cache) < self.view_cache_size:
+                self._view_cache[key] = rec
+        return rec
+
     def _load_img(self, cat_id: str, obj: str, view: int,
                   rng: np.random.RandomState) -> dict[str, np.ndarray]:
         cfg = self.cfg
-        rec = codecs.read_view_h5(self.paths.img_path(cat_id, obj, view))
+        rec = self._read_view(cat_id, obj, view)
         raw = rec.img_arr
         shifts = None
         if cfg.cam_shift:
