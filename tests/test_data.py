@@ -128,3 +128,39 @@ def test_rot_batch(fixture_ds):
     # rotation preserves norms
     np.testing.assert_allclose(np.linalg.norm(ex["sdf_pt_rot"], axis=1),
                                np.linalg.norm(ex["sdf_pt"], axis=1), atol=1e-4)
+
+
+def test_loader_error_propagation(fixture_ds):
+    """A worker exception must surface to the consumer, not hang the loop."""
+    info = fixture_ds
+    cfg = synthetic.tiny_config()
+    listinfo, cats_limit = listing.load_split(
+        info["lst_dir"], info["cats"], "train", view_num=info["views"])
+    # poison one path: nonexistent object
+    bad = listinfo + [(synthetic.SYNTH_CAT, "missing0", 0)] * 4
+    paths = listing.SplitPaths(info["sdf_dir"], info["rendered_dir"])
+    loader = pipeline.make_loader(cfg, paths, bad,
+                                  {synthetic.SYNTH_CAT: len(bad)},
+                                  epochs=1, workers=2, shuffle=False)
+    loader.start()
+    with pytest.raises(Exception):
+        for _ in loader:
+            pass
+    loader.shutdown()
+
+
+def test_view_cache_not_mutated_by_augmentation(fixture_ds):
+    """Cached view records must stay pristine across augmenting fetches."""
+    info = fixture_ds
+    cfg = synthetic.tiny_config(backcolorwhite=True)
+    listinfo, _ = listing.load_split(info["lst_dir"], info["cats"], "train",
+                                     view_num=info["views"])
+    paths = listing.SplitPaths(info["sdf_dir"], info["rendered_dir"])
+    ds = pipeline.SdfImageDataset(cfg, paths, listinfo, seed=0)
+    a = ds.get_example(0)["img"].copy()
+    rec_cached = ds._read_view(*listinfo[0])
+    raw1 = rec_cached.img_arr.copy()
+    b = ds.get_example(0)["img"]
+    np.testing.assert_array_equal(rec_cached.img_arr, raw1)
+    # backcolorwhite is deterministic, so repeated fetches agree
+    np.testing.assert_array_equal(a, b)
