@@ -157,7 +157,8 @@ def cmd_train(args) -> None:
     for i, batch in enumerate(loader):
         with timer.phase("step"):
             state, losses = step_fn(state, batch)
-        acc_sum += float(losses["accuracy"])
+        # accumulate on device: a float() here would sync every step
+        acc_sum = acc_sum + losses["accuracy"]
         acc_n += 1
         if i % args.log_every == 0:
             logger.metrics(i, losses)
@@ -168,12 +169,13 @@ def cmd_train(args) -> None:
             epoch = (i + 1) // bpe
             params_host = jax.tree_util.tree_map(np.asarray, state.params)
             mgr.save_epoch({"params": params_host}, epoch,
-                           metric=acc_sum / max(acc_n, 1))
+                           metric=float(acc_sum) / max(acc_n, 1))
             mgr.save_latest({"params": params_host,
                              "opt_state": jax.tree_util.tree_map(
                                  np.asarray, state.opt_state),
                              "step": np.asarray(state.step)}, int(state.step))
-            logger.log(f"epoch {epoch} done; acc {acc_sum / max(acc_n, 1):.4f}")
+            logger.log(f"epoch {epoch} done; "
+                       f"acc {float(acc_sum) / max(acc_n, 1):.4f}")
             acc_sum, acc_n = 0.0, 0
     loader.shutdown()
     logger.close()
@@ -366,6 +368,10 @@ def cmd_demo(args) -> None:
         img = arr
         trans = None
     if args.cam_est or trans is None:
+        if not args.cam_restore:
+            raise SystemExit(
+                "a plain image carries no camera: pass --cam-restore "
+                "<posenet ckpt> (or use a view .h5 with a trans_mat)")
         import jax
         import jax.numpy as jnp
         from disn_tpu.models import posenet

@@ -143,11 +143,14 @@ def obj_rot_matrix(az_deg: float, el_deg: float, inl_deg: float) -> np.ndarray:
 
 def project_points(sample_pc: jnp.ndarray, trans_mat: jnp.ndarray,
                    img_w: int = 137, img_h: int = 137,
-                   xyshift: jnp.ndarray | None = None) -> jnp.ndarray:
+                   xyshift: jnp.ndarray | None = None,
+                   clamp: bool = True) -> jnp.ndarray:
     """Project 3D query points into pixel coordinates.
 
     sample_pc: [..., N, 3]; trans_mat: [..., 4, 3] (right-multiply, transposed).
-    Returns [..., N, 2] (x, y) pixel coords clamped to [0, img_w-1]x[0, img_h-1].
+    Returns [..., N, 2] (x, y) pixel coords clamped to [0, img_w-1]x[0, img_h-1]
+    (clamp=False returns the raw projection — the camera 2D loss uses it,
+    cam_est/model_cam.py returns both and trains on the unclamped one).
 
     Mirrors get_img_points (model_normalization.py:241-251): homogeneous append,
     matmul, perspective divide by the z column, clamp. The optional xyshift adds
@@ -162,6 +165,8 @@ def project_points(sample_pc: jnp.ndarray, trans_mat: jnp.ndarray,
     pc_xy = pc_xyz[..., :2] / pc_xyz[..., 2:3]
     if xyshift is not None:
         pc_xy = pc_xy + (xyshift[..., None, :] / 2.0 * img_h)
+    if not clamp:
+        return pc_xy
     lo = jnp.zeros((2,), dtype=pc_xy.dtype)
     hi = jnp.array([img_w - 1.0, img_h - 1.0], dtype=pc_xy.dtype)
     return jnp.clip(pc_xy, lo, hi)

@@ -249,8 +249,9 @@ class PrefetchLoader:
         self._work_q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
-        self.batches_per_epoch = max(
-            1, min(sampler.epoch_amount, len(sampler.listinfo)) // batch_size)
+        stripe = (min(sampler.epoch_amount, len(sampler.listinfo))
+                  // sampler.host_count)
+        self.batches_per_epoch = max(1, stripe // batch_size)
         self.total_batches = self.batches_per_epoch * epochs
 
     # -- host producer ------------------------------------------------------

@@ -150,8 +150,10 @@ def chamfer_emd(pred: jnp.ndarray, gt: jnp.ndarray
     emd = match_cost * 0.01. pred/gt: [B,N,3]/[B,M,3]."""
     d1, _, d2, _ = nn_distance(pred, gt)
     cd = (jnp.mean(d1, -1) + jnp.mean(d2, -1)) * 1000.0
-    m = approx_match(pred, gt)
-    emd = match_cost(pred, gt, m) * 0.01
+    # protocol order: the reference feeds GT as xyz1 (test_cd_emd.py:307-308)
+    # and the auction matcher is asymmetric in its arguments
+    m = approx_match(gt, pred)
+    emd = match_cost(gt, pred, m) * 0.01
     return {"cd": cd, "emd": emd}
 
 
@@ -187,15 +189,8 @@ def sample_mesh_surface(verts: np.ndarray, faces: np.ndarray, n: int,
     The reference samples 2048 mesh VERTICES when enough exist
     (test_cd_emd.py:239-288); surface sampling is strictly more uniform —
     we expose both, this is the default for new evaluations."""
-    rng = rng or np.random.RandomState(0)
-    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
-    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
-    p = areas / max(areas.sum(), 1e-12)
-    fi = rng.choice(len(faces), size=n, p=p)
-    r1 = np.sqrt(rng.rand(n, 1)).astype(np.float32)
-    r2 = rng.rand(n, 1).astype(np.float32)
-    return ((1 - r1) * v0[fi] + r1 * (1 - r2) * v1[fi]
-            + r1 * r2 * v2[fi]).astype(np.float32)
+    from disn_tpu.core.meshes import sample_surface
+    return sample_surface(verts, faces, n, rng)
 
 
 def sample_mesh_vertices(verts: np.ndarray, n: int,

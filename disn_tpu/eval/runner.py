@@ -102,7 +102,7 @@ def evaluate_tree(pred_dir: str, gt_dir: str, lst_dir: str,
         jobs = []
         for obj in objs:
             gt_mesh = os.path.join(gt_dir, cat, obj, "isosurf.obj")
-            preds = [os.path.join(pred_dir, cat, f"{cat}_{obj}_{v}.obj")
+            preds = [os.path.join(pred_dir, cat, f"{cat}_{obj}_{v:02d}.obj")
                      for v in range(view_num)]
             jobs.append((gt_mesh, preds))
         with ThreadPoolExecutor(workers) as pool:

@@ -58,9 +58,11 @@ def predict_volume(params: Params, img: np.ndarray, trans_mat: np.ndarray,
 
 
 def volume_to_mesh(vol: np.ndarray, sdf_params: np.ndarray, iso: float = 0.0,
-                   clean: bool = False) -> tuple[np.ndarray, np.ndarray]:
+                   clean: bool = False, max_tris: int | None = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
     # device-chained path: MC + weld on device, fetch only sliced buffers
-    verts, faces = marching.extract_mesh_device(vol, sdf_params, iso=iso)
+    verts, faces = marching.extract_mesh_device(vol, sdf_params, iso=iso,
+                                                max_tris=max_tris)
     if clean and len(faces):
         verts, faces = clean_small_parts(verts, faces)
     return verts, faces
@@ -78,7 +80,8 @@ def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     iso = cfg.iso if iso is None else iso
     vol = predict_volume(params, img, trans_mat, sdf_params, cfg,
                          sparse=sparse)
-    return volume_to_mesh(vol, sdf_params, iso=iso, clean=clean)
+    return volume_to_mesh(vol, sdf_params, iso=iso, clean=clean,
+                          max_tris=cfg.max_triangles)
 
 
 def reconstruct_multiview(params: Params, cfg: Config, paths, listinfo,
@@ -135,11 +138,15 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
         sdf = codecs.read_sdf_h5(paths.sdf_path(cat_id, obj))
         vol = predict_volume(params, img, rec.trans_mat, sdf.sdf_params, cfg,
                              sparse=sparse)
-        out = os.path.join(out_root, cat_id, f"{cat_id}_{obj}_{view}.obj")
+        # two-digit view id like the reference output tree
+        # (test/create_sdf.py:311, view ids from the NN.h5 stems)
+        out = os.path.join(out_root, cat_id,
+                           f"{cat_id}_{obj}_{view:02d}.obj")
         written.append(out)
 
         def write(vol=vol, sdf_params=sdf.sdf_params, out=out):
-            verts, faces = volume_to_mesh(vol, sdf_params, iso=cfg.iso)
+            verts, faces = volume_to_mesh(vol, sdf_params, iso=cfg.iso,
+                                          max_tris=cfg.max_triangles)
             codecs.write_obj(out, verts, faces)
 
         futures.append(pool.submit(write))

@@ -127,21 +127,35 @@ def get_loss(end_points: dict[str, jnp.ndarray], batch: dict[str, jnp.ndarray],
     sub_3d = rot_pred - rot_gt
 
     xyshift = end_points.get("pred_xyshift")
-    gt_xy_full = camera.project_points(sample_pc, trans_mat,
-                                       img_w=cfg.img_w, img_h=cfg.img_h)
-    pred_xy_full = camera.project_points(sample_pc, pred_trans_mat,
-                                         img_w=cfg.img_w, img_h=cfg.img_h,
-                                         xyshift=xyshift)
+    # the GT projection carries the GT image shift when shift augmentation is
+    # on (the object was moved in the image): reference gt_xy includes
+    # gt_xyshift (cam_est/model_cam.py:101, 119-120)
+    gt_shift = batch.get("shifts") if cfg.cam_shift else None
+    # the 2D LOSS uses raw (unclamped) projections — clamping would zero the
+    # gradient whenever early-training predictions land outside the image
+    gt_xy_raw = camera.project_points(sample_pc, trans_mat, clamp=False,
+                                      img_w=cfg.img_w, img_h=cfg.img_h,
+                                      xyshift=gt_shift)
+    pred_xy_raw = camera.project_points(sample_pc, pred_trans_mat,
+                                        clamp=False,
+                                        img_w=cfg.img_w, img_h=cfg.img_h,
+                                        xyshift=xyshift)
+    gt_xy_cl = camera.project_points(sample_pc, trans_mat,
+                                     img_w=cfg.img_w, img_h=cfg.img_h,
+                                     xyshift=gt_shift)
+    pred_xy_cl = camera.project_points(sample_pc, pred_trans_mat,
+                                       img_w=cfg.img_w, img_h=cfg.img_h,
+                                       xyshift=xyshift)
 
     losses: dict[str, jnp.ndarray] = {}
     # tf.nn.l2_loss = sum(x^2)/2; the reference wraps it in reduce_mean of a
     # scalar, so these are sums-of-squares halved.
     rotpc_loss = jnp.sum(jnp.square(sub_3d)) / 2.0
-    rot2d_loss = jnp.sum(jnp.square(pred_xy_full - gt_xy_full)) / 2.0 / 1e4
+    rot2d_loss = jnp.sum(jnp.square(pred_xy_raw - gt_xy_raw)) / 2.0 / 1e4
     rotmatrix_loss = jnp.mean(jnp.square(pred_trans_mat - trans_mat))
     rot3d_dist = jnp.mean(jnp.sqrt(jnp.sum(jnp.square(sub_3d), axis=-1)))
     rot2d_dist = jnp.mean(jnp.sqrt(
-        jnp.sum(jnp.square(pred_xy_full - gt_xy_full), axis=-1)))
+        jnp.sum(jnp.square(pred_xy_cl - gt_xy_cl), axis=-1)))
 
     losses.update(rotpc_loss=rotpc_loss, rot2d_loss=rot2d_loss,
                   rotmatrix_loss=rotmatrix_loss, rot3d_dist=rot3d_dist,

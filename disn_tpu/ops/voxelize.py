@@ -34,16 +34,16 @@ def voxelize_surface(verts: np.ndarray, faces: np.ndarray, dim: int = 110,
     areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
     n_samples = np.maximum(
         1, np.ceil(samples_per_cell * areas / (cell * cell)).astype(np.int64))
-    # batch triangles by sample count for vectorization
+    # unlike core.meshes.sample_surface, the per-triangle sample COUNTS are
+    # already area-proportional here, so barycentric coords are drawn on the
+    # repeated triangle list directly (cell coverage, not uniform sampling)
     rng = np.random.RandomState(0)
-    order = np.argsort(n_samples)
     total = int(n_samples.sum())
     tri_idx = np.repeat(np.arange(len(faces)), n_samples)
-    r1 = np.sqrt(rng.rand(total, 1))
-    r2 = rng.rand(total, 1)
+    r1 = np.sqrt(rng.rand(total, 1)).astype(np.float32)
+    r2 = rng.rand(total, 1).astype(np.float32)
     pts = ((1 - r1) * v0[tri_idx] + r1 * (1 - r2) * v1[tri_idx]
            + r1 * r2 * v2[tri_idx])
-    del order
     mark(pts)
     return occ
 

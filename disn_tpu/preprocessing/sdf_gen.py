@@ -19,19 +19,8 @@ import numpy as np
 from disn_tpu import native
 from disn_tpu.config import INSIDEOUT_CATS
 from disn_tpu.core import codecs
+from disn_tpu.core.meshes import sample_surface  # noqa: F401 (shared impl)
 from disn_tpu.ops import marching
-
-
-def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
-                   rng: np.random.RandomState) -> np.ndarray:
-    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
-    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
-    p = areas / max(areas.sum(), 1e-12)
-    fi = rng.choice(len(faces), size=n, p=p)
-    r1 = np.sqrt(rng.rand(n, 1))
-    r2 = rng.rand(n, 1)
-    return ((1 - r1) * v0[fi] + r1 * (1 - r2) * v1[fi] + r1 * r2 * v2[fi]
-            ).astype(np.float32)
 
 
 def normalize_mesh(verts: np.ndarray, faces: np.ndarray,

@@ -73,7 +73,7 @@ def test_e2e(workdir):
                                             "isosurf.obj"))
         for view in range(2):
             codecs.write_obj(os.path.join(
-                copy_dir, "99999999", f"99999999_{obj}_{view}.obj"), v, f)
+                copy_dir, "99999999", f"99999999_{obj}_{view:02d}.obj"), v, f)
     cli.main(["evaluate", "--data-root", data, "--pred-dir", copy_dir,
               "--gt-dir", gt_dir, "--view-num", "2", "--num-points", "256",
               "--dim", "32", "--metrics", "cd,emd,fscore,iou",
