@@ -197,3 +197,33 @@ def test_posenet_full_and_loss(rng):
     want = float(losses["rotpc_loss"] + 0.3 * losses["rotmatrix_loss"]
                  + losses["regularization"])
     np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+
+def test_cam_2d_loss_unclamped_and_shifted(rng):
+    """Reference parity (cam_est/model_cam.py): the 2D loss uses UNCLAMPED
+    projections, and in shift mode the GT projection carries the GT shift —
+    a perfect prediction must zero the 2D loss."""
+    import numpy as np
+    cfg = _tiny_cfg(cam_loss_mode="2D", cam_shift=True,
+                    regularization=False)
+    r = np.random.RandomState(0)
+    trans = np.vstack([np.eye(3) * 60, [68.0, 68.0, 2.0]]
+                      ).astype(np.float32)[None]
+    shifts = np.asarray([[0.3, -0.2]], np.float32)
+    batch = {
+        "sample_pc": jnp.asarray(r.uniform(-2, 2, (1, 64, 3)), jnp.float32),
+        "RT": jnp.asarray(trans),
+        "trans_mat": jnp.asarray(trans),
+        "shifts": jnp.asarray(shifts),
+    }
+    # perfect prediction: same matrix, same shift
+    end_points = {"pred_RT": jnp.asarray(trans),
+                  "pred_trans_mat": jnp.asarray(trans),
+                  "pred_xyshift": jnp.asarray(shifts)}
+    loss, losses = posenet.get_loss(end_points, batch, {"vgg_16": {}}, cfg)
+    assert float(losses["rot2d_loss"]) == pytest.approx(0.0, abs=1e-4)
+    assert float(losses["shiftxy_loss"]) == pytest.approx(0.0, abs=1e-8)
+    # wrong shift must show up in the 2D loss even for a perfect matrix
+    end_points["pred_xyshift"] = jnp.asarray([[0.0, 0.0]], jnp.float32)
+    _, losses2 = posenet.get_loss(end_points, batch, {"vgg_16": {}}, cfg)
+    assert float(losses2["rot2d_loss"]) > 1.0
