@@ -272,6 +272,77 @@ def marching_tets_jit(volume, sdf_params, iso: float = 0.0,
     return marching_tets(volume, sdf_params, iso=iso, max_tris=max_tris)
 
 
+# ---------------------------------------------------------------------------
+# chunked-emit variant: the while_loop above carries the [max_tris] buffers
+# and XLA copies them every iteration (~172ms/image at 257^3). Here the
+# active-cell count syncs to the host once, chunk triangles are emitted via
+# lax.map (stacked outputs, no carry), and ONE final scatter compacts. The
+# map length is bucketed to powers of two to bound recompilation.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("iso", "cap"))
+def _active_cells_jit(volume, iso: float, cap: int):
+    return _active_cells(volume, iso, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("iso", "n_iter", "cell_batch",
+                                              "max_tris"))
+def _emit_and_compact(volume, sdf_params, cell_ids, count, iso: float,
+                      n_iter: int, cell_batch: int, max_tris: int):
+    def chunk(i):
+        batch_ids = jax.lax.dynamic_slice_in_dim(
+            cell_ids, i * cell_batch, cell_batch)
+        vals, pos, gid = _cell_corner_data(volume, batch_ids, sdf_params)
+        tri_pos, tri_keys, valid = _cell_triangles(vals, pos, gid, iso)
+        in_range = (i * cell_batch
+                    + jax.lax.broadcasted_iota(jnp.int32, (cell_batch, 1), 0)
+                    ) < count
+        valid = valid & in_range
+        return (tri_pos.reshape(cell_batch * _N_SLOTS, 3, 3),
+                tri_keys.reshape(cell_batch * _N_SLOTS, 3, 2),
+                valid.reshape(cell_batch * _N_SLOTS))
+
+    pos_c, key_c, valid_c = jax.lax.map(
+        chunk, jnp.arange(n_iter, dtype=jnp.int32))
+    pos_c = pos_c.reshape(-1, 3, 3)
+    key_c = key_c.reshape(-1, 3, 2)
+    valid_c = valid_c.reshape(-1)
+    csum = jnp.cumsum(valid_c.astype(jnp.int32))
+    idx = jnp.where(valid_c, csum - 1, max_tris)
+    pos_buf = jnp.zeros((max_tris, 3, 3), jnp.float32).at[idx].set(
+        pos_c, mode="drop", unique_indices=True)
+    key_buf = jnp.zeros((max_tris, 3, 2), jnp.int32).at[idx].set(
+        key_c, mode="drop", unique_indices=True)
+    return pos_buf, key_buf, csum[-1]
+
+
+def _pow2_bucket(n: int) -> int:
+    out = 1
+    while out < n:
+        out *= 2
+    return out
+
+
+def marching_tets_chunked(volume, sdf_params, iso: float = 0.0,
+                          max_tris: int = 1 << 20, cell_batch: int = 16384):
+    """Host-driven variant of marching_tets: one tiny count sync, then a
+    carry-free emit + single compaction. Returns the same triple."""
+    cell_cap = -(-max_tris // cell_batch) * cell_batch
+    cell_ids, count = _active_cells_jit(jnp.asarray(volume, jnp.float32),
+                                        float(iso), cell_cap)
+    c = int(count)
+    if c > cell_cap:
+        return (jnp.zeros((max_tris, 3, 3), jnp.float32),
+                jnp.zeros((max_tris, 3, 2), jnp.int32),
+                jnp.int32(max_tris + 1))
+    n_iter = min(_pow2_bucket(max(1, -(-c // cell_batch))),
+                 cell_cap // cell_batch)
+    return _emit_and_compact(jnp.asarray(volume, jnp.float32),
+                             jnp.asarray(sdf_params, jnp.float32),
+                             cell_ids, count, float(iso), n_iter,
+                             cell_batch, max_tris)
+
+
 @jax.jit
 def weld_device(tri_pos: jnp.ndarray, tri_keys: jnp.ndarray,
                 count: jnp.ndarray):

@@ -116,3 +116,18 @@ def test_device_weld_empty():
     vol = np.ones((9, 9, 9), np.float32)
     v, f = marching.extract_mesh_device(vol, PARAMS)
     assert len(v) == 0 and len(f) == 0
+
+
+def test_chunked_matches_while_variant():
+    import jax.numpy as jnp
+    vol = sphere_volume(R=17)
+    mt = 16384
+    p1, k1, c1 = marching.marching_tets_jit(jnp.asarray(vol),
+                                            jnp.asarray(PARAMS), max_tris=mt)
+    p2, k2, c2 = marching.marching_tets_chunked(vol, PARAMS, max_tris=mt,
+                                                cell_batch=512)
+    assert int(c1) == int(c2)
+    np.testing.assert_allclose(np.asarray(p1[:int(c1)]),
+                               np.asarray(p2[:int(c2)]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k1[:int(c1)]),
+                                  np.asarray(k2[:int(c2)]))
