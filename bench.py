@@ -27,7 +27,8 @@ TARGET_QPS = 257 ** 3 / 0.1  # BASELINE.json north star
 
 def main() -> None:
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    # reuse the repo-local cache that already holds the production shapes
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
@@ -49,9 +50,10 @@ def main() -> None:
         reps = 1
 
     params = disn.init(cfg, jax.random.PRNGKey(0))
+    from disn_tpu.data.synthetic import demo_trans_mat
     rng = np.random.RandomState(0)
     img = rng.rand(1, cfg.img_h, cfg.img_w, 3).astype(np.float32)
-    trans = np.vstack([np.eye(3) * 60.0, [68.0, 68.0, 2.0]]).astype(np.float32)
+    trans = demo_trans_mat()
     sdf_params = np.array([-1, -1, -1, 1, 1, 1], np.float32)
 
     fn = dense.make_dense_sdf_fn(cfg, block=block)
@@ -64,8 +66,10 @@ def main() -> None:
     for i in range(reps):
         t0 = time.perf_counter()
         # scalar fetch forces execution: block_until_ready can return early
-        # on queued-but-unexecuted work under the axon tunnel backend
-        float(fn(*args)[0, 0, i])
+        # on queued-but-unexecuted work under the axon tunnel backend; the
+        # index must DIFFER from the warm-up fetch or the tunnel may serve
+        # it from cache without executing
+        float(fn(*args)[0, 0, i + 1])
         times.append(time.perf_counter() - t0)
     dt = min(times)
     total = cfg.grid_resolution ** 3

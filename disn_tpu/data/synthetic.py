@@ -234,6 +234,14 @@ def build_dataset(root: str, shapes: dict | None = None, views: int = 4,
     }
 
 
+def demo_trans_mat() -> np.ndarray:
+    """The canonical synthetic test camera: a scaled-identity 4x3 transform
+    with image-center translation — shared by bench.py, __graft_entry__.py,
+    and the test fixtures so they never diverge."""
+    return np.vstack([np.eye(3) * 60.0,
+                      [68.0, 68.0, 2.0]]).astype(np.float32)
+
+
 def tiny_config(**kw) -> Config:
     """Config scaled for the synthetic fixture / CI-sized runs."""
     base = dict(batch_size=2, num_sample_points=256, cat_limit=64,

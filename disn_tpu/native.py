@@ -52,6 +52,8 @@ def compute_distance_field(verts: np.ndarray, faces: np.ndarray, res: int,
     verts [V,3] float32, faces [F,3] int32, bbox [6] (x0 y0 z0 x1 y1 z1).
     band > 0 = narrow-band mode (exact within `band` of the surface, coarse
     interpolation beyond — the Vega -g semantics; ~10-20x faster at 256^3).
+    Banding requires res % 4 == 0; otherwise the tool silently computes the
+    exact field everywhere (correct but slow).
     """
     lib = _load()
     verts = np.ascontiguousarray(verts, dtype=np.float32)

@@ -101,9 +101,12 @@ def generate_object(verts: np.ndarray, faces: np.ndarray, out_dir: str,
     half = float(np.abs(norm_verts).max() * expand_rate)
     bbox = np.array([-half] * 3 + [half] * 3, np.float64)
     # narrow band = sampling bandwidth + a safety margin (the reference runs
-    # Vega with -g 0.1 = the same bandwidth, create_point_sdf_grid.py:331-335)
+    # Vega with -g 0.1 = the same bandwidth, create_point_sdf_grid.py:331-335).
+    # The full-grid (3D-CNN) variant stores every grid value as training
+    # target, so it needs the exact field everywhere — no banding there.
+    band = 0.0 if full_grid_reduce else 2.0 * bandwidth
     vol = native.compute_distance_field(norm_verts, faces, sdf_res, bbox,
-                                        band=2.0 * bandwidth)
+                                        band=band)
 
     if check_insideout(cat_id, vol):
         # inverted mesh: flip the field and mark it (reference writes a flag

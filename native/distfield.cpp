@@ -10,12 +10,14 @@
 //     robust to the small holes and duplicate faces common in ShapeNet
 //     meshes (single-axis parity flips on every crack; three-axis voting
 //     suppresses them);
-//   * optional narrow band: points farther than `band` from the surface
-//     (estimated from a coarse pre-pass) keep the coarse distance, matching
-//     the reference's banded invocation (-g band).
+//   * optional narrow band (requires res % 4 == 0, else silently exact):
+//     points farther than `band` from the surface (estimated from a coarse
+//     pre-pass) keep the coarse distance, matching the reference's banded
+//     invocation (-g band).
 //
 // Exposed as a C API for ctypes (disn_tpu/native.py) and as a CLI:
-//   distfield <in.obj> <res> <expand_rate> <out.dist> [band]
+//   distfield <in.obj> <res> <expand_rate> <out.dist> [sign_votes=3]
+//             [threads=0] [band=0]
 // writing the same `.dist` byte format as the reference tools
 // (3x int32 {-res,res,res}, 6x float64 bbox, float32[(res+1)^3], x fastest).
 
@@ -366,8 +368,8 @@ int compute_distance_field(const float* verts, int32_t n_verts,
     for (int t = 0; t < n_threads; t++) pool.emplace_back(cwork);
     for (auto& t : pool) t.join();
   }
-  const float margin =
-      (float)(stride * sx * 1.7320508);  // coarse cell diagonal
+  const float margin =            // coarse cell diagonal (anisotropic bbox)
+      (float)(stride * std::sqrt(sx * sx + sy * sy + sz * sz));
 
   auto coarse_interp = [&](int32_t x, int32_t y, int32_t z) -> float {
     // trilinear over the coarse cell containing fine point (x, y, z)
@@ -412,7 +414,6 @@ int compute_distance_field(const float* verts, int32_t n_verts,
             }
             out[idx] = votes[idx] >= need ? -d : d;
           }
-          best = 1e30f;
         }
       }
     };
@@ -447,9 +448,16 @@ static bool load_obj(const char* path, std::vector<float>& verts,
       std::istringstream ss(line.substr(2));
       std::vector<int32_t> idx;
       std::string tok;
+      int32_t nv = (int32_t)(verts.size() / 3);
+      bool ok = true;
       while (ss >> tok) {
-        idx.push_back((int32_t)std::strtol(tok.c_str(), nullptr, 10) - 1);
+        long raw = std::strtol(tok.c_str(), nullptr, 10);
+        // OBJ negative indices are relative to the vertices defined so far
+        int32_t v = raw < 0 ? (int32_t)(nv + raw) : (int32_t)(raw - 1);
+        if (v < 0 || v >= nv) ok = false;
+        idx.push_back(v);
       }
+      if (!ok) continue;  // skip malformed faces rather than read OOB
       for (size_t i = 1; i + 1 < idx.size(); i++) {
         tris.push_back(idx[0]);
         tris.push_back(idx[i]);
