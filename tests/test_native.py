@@ -90,3 +90,38 @@ def test_banded_matches_exact_in_band(sphere_mesh):
     # far field stays a sane distance approximation
     far = np.abs(exact) > 0.3
     assert np.abs(banded[far] - exact[far]).max() < 0.06
+
+
+def test_banded_anisotropic_bbox(sphere_mesh):
+    """Band margin must use the full anisotropic cell diagonal: in-band
+    values stay exact under a stretched bbox."""
+    verts, faces = sphere_mesh
+    bbox = np.array([-1, -1, -2, 1, 1, 2], np.float64)
+    exact = native.compute_distance_field(verts, faces, 32, bbox)
+    banded = native.compute_distance_field(verts, faces, 32, bbox, band=0.1)
+    band_mask = np.abs(exact) < 0.1
+    np.testing.assert_allclose(banded[band_mask], exact[band_mask], atol=1e-5)
+    assert (np.sign(banded) == np.sign(exact)).all()
+
+
+def test_obj_relative_and_invalid_indices(tmp_path):
+    """CLI OBJ loader: negative (relative) indices resolve per the spec;
+    out-of-range faces are skipped instead of read out of bounds."""
+    import subprocess
+    obj = str(tmp_path / "rel.obj")
+    with open(obj, "w") as f:
+        # a small double tetra around the origin using relative indices
+        f.write("v 0.5 0 0\nv -0.5 0.4 0\nv -0.5 -0.4 0\nv 0 0 0.6\n"
+                "v 0 0 -0.6\n")
+        f.write("f -5 -4 -3\n")          # relative: verts 1 2 3
+        f.write("f 1 2 4\nf 2 3 4\nf 3 1 4\n")
+        f.write("f 1 3 5\nf 3 2 5\nf 2 1 5\n")
+        f.write("f 1 2 99\n")            # out of range: must be skipped
+    subprocess.run(["make", "-C", native._NATIVE_DIR, "distfield"],
+                   check=True, capture_output=True)
+    exe = native._NATIVE_DIR + "/distfield"
+    out = str(tmp_path / "rel.dist")
+    subprocess.run([exe, obj, "16", "1.3", out], check=True)
+    df = codecs.read_dist(out, expect_res=16)
+    assert df.values[8, 8, 8] < 0        # center inside the double tetra
+    assert df.values[0, 0, 0] > 0
