@@ -123,5 +123,7 @@ def test_obj_relative_and_invalid_indices(tmp_path):
     out = str(tmp_path / "rel.dist")
     subprocess.run([exe, obj, "16", "1.3", out], check=True)
     df = codecs.read_dist(out, expect_res=16)
-    assert df.values[8, 8, 8] < 0        # center inside the double tetra
+    # the exact center lies ON the internal z=0 triangle (distance -0.0);
+    # check a strictly interior point just above it
+    assert df.values[9, 8, 8] < 0        # inside the upper tetra
     assert df.values[0, 0, 0] > 0
