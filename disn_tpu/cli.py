@@ -396,7 +396,7 @@ def cmd_evaluate(args) -> None:
         lst_dir=os.path.join(args.data_root, "filelists"),
         split=args.split, metrics=args.metrics.split(","),
         num_points=args.num_points, view_num=args.view_num,
-        dim=args.dim)
+        dim=args.dim, protocol=args.protocol, device_iou=args.device_iou)
     print(json.dumps(results, indent=2))
     if args.out:
         with open(args.out, "w") as f:
@@ -585,6 +585,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-points", type=int, default=2048)
     p.add_argument("--view-num", type=int, default=24)
     p.add_argument("--dim", type=int, default=110)
+    p.add_argument("--protocol", choices=["vertices", "surface"],
+                   default="vertices",
+                   help="point sampling: reference protocol (vertices) or "
+                        "uniform surface sampling")
+    p.add_argument("--device-iou", action="store_true",
+                   help="voxelize on device (fast on single-core hosts)")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_evaluate)
 

@@ -40,7 +40,8 @@ def _mesh_points(path: str, n: int, rng: np.random.RandomState,
 
 def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
                     which: set[str], dim: int, seed: int = 0,
-                    protocol: str = "vertices") -> dict | None:
+                    protocol: str = "vertices",
+                    device_iou: bool = False) -> dict | None:
     import jax.numpy as jnp
     rng = np.random.RandomState(seed)
     gt_pts = _mesh_points(gt_mesh, num_points, rng, protocol)
@@ -72,9 +73,11 @@ def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
         out["f1"] = np.asarray(fs["f1"]).mean(axis=1).tolist()  # per thresh
     if "iou" in which:
         gt = codecs.read_obj(gt_mesh)
+        iou_fn = voxelize.iou_meshes_device if device_iou \
+            else voxelize.iou_meshes
         ious = []
         for p in pred_paths:
-            ious.append(voxelize.iou_meshes(gt, codecs.read_obj(p), dim=dim))
+            ious.append(iou_fn(gt, codecs.read_obj(p), dim=dim))
         out["iou_avg"] = float(np.mean(ious))
         out["iou_best"] = float(np.max(ious))
     return out
@@ -84,7 +87,8 @@ def evaluate_tree(pred_dir: str, gt_dir: str, lst_dir: str,
                   split: str = "test", metrics_list: list[str] | None = None,
                   metrics: list[str] | None = None, num_points: int = 2048,
                   view_num: int = 24, dim: int = 110, workers: int = 8,
-                  protocol: str = "vertices") -> dict:
+                  protocol: str = "vertices",
+                  device_iou: bool = False) -> dict:
     """pred tree: {pred_dir}/{cat}/{cat}_{obj}_{view}.obj
     gt tree:   {gt_dir}/{cat}/{obj}/isosurf.obj"""
     which = set(metrics or metrics_list or ["cd", "emd", "fscore", "iou"])
@@ -107,8 +111,8 @@ def evaluate_tree(pred_dir: str, gt_dir: str, lst_dir: str,
             jobs.append((gt_mesh, preds))
         with ThreadPoolExecutor(workers) as pool:
             for r in pool.map(lambda j: evaluate_object(
-                    j[0], j[1], num_points, which, dim, protocol=protocol),
-                    jobs):
+                    j[0], j[1], num_points, which, dim, protocol=protocol,
+                    device_iou=device_iou), jobs):
                 if r is not None:
                     per_obj.append(r)
         if not per_obj:

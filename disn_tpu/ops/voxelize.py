@@ -10,6 +10,8 @@ x-ray parity for watertight meshes.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -46,6 +48,93 @@ def voxelize_surface(verts: np.ndarray, faces: np.ndarray, dim: int = 110,
            + r1 * r2 * v2[tri_idx])
     mark(pts)
     return occ
+
+
+# --------------------------------------------------------------------------
+# Device-side voxelization: the host path above runs per-mesh numpy sampling
+# on (often single-core) TPU VMs — the IoU evaluator over a full ShapeNet
+# split would bottleneck there. This jitted variant samples and scatters on
+# device with static padded shapes (pow2-bucketed face counts).
+# --------------------------------------------------------------------------
+
+def _pow2(n: int) -> int:
+    out = 1
+    while out < n:
+        out *= 2
+    return out
+
+
+def occupancy_device(verts: np.ndarray, faces: np.ndarray, dim: int = 110,
+                     offset: float = 1.1, span: float = 2.4,
+                     samples_per_cell: float = 4.0, seed: int = 0):
+    """Boolean [dim,dim,dim] surface occupancy, computed on device."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(faces) == 0:
+        return np.zeros((dim, dim, dim), dtype=bool)
+    fcap = _pow2(len(faces))
+    f = np.zeros((fcap, 3), np.int32)
+    f[:len(faces)] = faces
+    v = np.asarray(verts, np.float32)
+    cell = span / dim
+    areas = 0.5 * np.linalg.norm(
+        np.cross(v[faces[:, 1]] - v[faces[:, 0]],
+                 v[faces[:, 2]] - v[faces[:, 0]]), axis=1)
+    total = int(max(len(verts) * 3,
+                    np.ceil(samples_per_cell * areas.sum() / cell ** 2)))
+    n_samples = _pow2(min(max(total, 1 << 12), 1 << 22))
+
+    @functools.partial(jax.jit,
+                       static_argnames=("dim", "fcap", "n_samples"))
+    def _kernel(v, f, n_faces, key, dim, fcap, n_samples, offset, span):
+        tri = v[f]                               # [fcap,3,3]
+        e1 = tri[:, 1] - tri[:, 0]
+        e2 = tri[:, 2] - tri[:, 0]
+        area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=1)
+        valid = (jnp.arange(fcap) < n_faces)
+        area = jnp.where(valid, area, 0.0)
+        cdf = jnp.cumsum(area)
+        cdf = cdf / jnp.maximum(cdf[-1], 1e-12)
+        k1, k2, k3 = jax.random.split(key, 3)
+        u = jax.random.uniform(k1, (n_samples,))
+        fi = jnp.searchsorted(cdf, u)
+        fi = jnp.clip(fi, 0, fcap - 1)
+        r1 = jnp.sqrt(jax.random.uniform(k2, (n_samples, 1)))
+        r2 = jax.random.uniform(k3, (n_samples, 1))
+        t = tri[fi]
+        pts = ((1 - r1) * t[:, 0] + r1 * (1 - r2) * t[:, 1]
+               + r1 * r2 * t[:, 2])
+        # mesh corners must mark their cells too
+        pts = jnp.concatenate([pts, tri.reshape(-1, 3)], axis=0)
+        idx = jnp.floor((pts + offset) / span * dim).astype(jnp.int32)
+        ok = jnp.all((idx >= 0) & (idx < dim), axis=1)
+        # corner rows of invalid (padded) faces are all-zero verts -> masked
+        # only by the bbox test; scatter their cell harmlessly off-grid
+        pad_corner = jnp.concatenate([
+            jnp.ones((n_samples,), bool),
+            jnp.repeat(valid, 3)])
+        ok = ok & pad_corner
+        flat = (idx[:, 0] * dim + idx[:, 1]) * dim + idx[:, 2]
+        flat = jnp.where(ok, flat, dim ** 3)
+        occ = jnp.zeros((dim ** 3,), bool).at[flat].set(True, mode="drop")
+        return occ.reshape(dim, dim, dim)
+
+    import jax.numpy as jnp  # noqa: F811
+    occ = _kernel(jnp.asarray(v), jnp.asarray(f), np.int32(len(faces)),
+                  jax.random.PRNGKey(seed), dim, fcap, n_samples,
+                  float(offset), float(span))
+    return np.asarray(occ)
+
+
+def iou_meshes_device(mesh1, mesh2, dim: int = 110) -> float:
+    """Device-side IoU under the same protocol as iou_meshes."""
+    o1 = occupancy_device(*mesh1, dim=dim)
+    o2 = occupancy_device(*mesh2, dim=dim)
+    union = np.logical_or(o1, o2).sum()
+    if union == 0:
+        return 0.0
+    return float(np.logical_and(o1, o2).sum()) / float(union)
 
 
 def fill_solid(occ_surface: np.ndarray) -> np.ndarray:

@@ -147,3 +147,24 @@ def test_surface_sampling():
     assert np.abs(r - 0.6).max() < 0.08
     vv = metrics.sample_mesh_vertices(verts, 512)
     assert vv.shape == (512, 3)
+
+
+def test_device_voxelization_matches_host():
+    from disn_tpu.data import synthetic
+    from disn_tpu.ops import marching
+    R = 33
+    lin = np.linspace(-1, 1, R, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    params = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    m1 = marching.extract_mesh(
+        synthetic.sdf_sphere(np.stack([xx, yy, zz], -1)).astype(np.float32),
+        params)
+    m2 = marching.extract_mesh(
+        synthetic.sdf_sphere(np.stack([xx, yy, zz], -1), r=0.55)
+        .astype(np.float32), params)
+    host = voxelize.iou_meshes(m1, m2, dim=48)
+    dev = voxelize.iou_meshes_device(m1, m2, dim=48)
+    # both are Monte-Carlo surface voxelizations; IoU must agree closely
+    assert dev == pytest.approx(host, abs=0.05)
+    assert voxelize.iou_meshes_device(m1, m1, dim=48) == pytest.approx(
+        1.0, abs=0.02)
