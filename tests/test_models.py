@@ -72,13 +72,18 @@ def _fake_batch(cfg, n=16, key=3):
 
 
 @pytest.mark.parametrize("variant,binary", [
-    (Variant.TWOSTREAM, False),
+    (Variant.TWOSTREAM, False),   # full width: pins the 1472-dim contract
     (Variant.TWOSTREAM, True),
     (Variant.ONESTREAM, False),
     (Variant.GLOBAL, False),
 ])
 def test_disn_variants_forward(rng, variant, binary):
-    cfg = _tiny_cfg(variant=variant, binary=binary)
+    # only the first case runs full width (CPU compile cost); the rest only
+    # check routing/shapes, which width_mult preserves
+    full = variant is Variant.TWOSTREAM and not binary
+    cfg = _tiny_cfg(variant=variant, binary=binary,
+                    **({} if full else dict(width_mult=0.25,
+                                            num_classes=256)))
     params = disn.init(cfg, rng)
     batch = _fake_batch(cfg)
     eps = disn.apply(params, batch, cfg)
@@ -86,7 +91,9 @@ def test_disn_variants_forward(rng, variant, binary):
     assert eps["pred_sdf"].shape == (1, 16, out_dim)
     assert np.isfinite(np.asarray(eps["pred_sdf"])).all()
     if variant is Variant.TWOSTREAM:
-        assert eps["point_img_feat"].shape == (1, 16, 1472)
+        assert eps["point_img_feat"].shape == (1, 16, cfg.local_feat_dim)
+    if full:
+        assert cfg.local_feat_dim == 1472
         np.testing.assert_allclose(
             np.asarray(eps["pred_sdf"]),
             np.asarray(eps["pred_sdf_value_global"]
@@ -102,7 +109,7 @@ def test_disn_threedcnn_forward(rng):
 
 
 def test_fused_vs_materializing_sampling(rng):
-    cfg = _tiny_cfg()
+    cfg = _tiny_cfg(width_mult=0.25, num_classes=256)
     params = disn.init(cfg, rng)
     batch = _fake_batch(cfg)
     a = disn.apply(params, batch, cfg, fused_sampling=True)["pred_sdf"]
@@ -152,7 +159,8 @@ def test_loss_binary_formula(rng):
 
 
 def test_regularization_term(rng):
-    cfg = _tiny_cfg(variant=Variant.GLOBAL)
+    cfg = _tiny_cfg(variant=Variant.GLOBAL, width_mult=0.125,
+                    num_classes=32)
     params = disn.init(cfg, rng)
     batch = _fake_batch(cfg)
     eps = disn.apply(params, batch, cfg)
@@ -181,7 +189,7 @@ def test_posenet_heads(rng):
 
 
 def test_posenet_full_and_loss(rng):
-    cfg = _tiny_cfg(cam_loss_mode="3DM")
+    cfg = _tiny_cfg(cam_loss_mode="3DM", width_mult=0.125, num_classes=32)
     params = posenet.init(cfg, rng)
     img = jax.random.uniform(rng, (1, 137, 137, 3))
     eps = posenet.apply(params, img, cfg)
