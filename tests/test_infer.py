@@ -164,3 +164,14 @@ def test_folded_matches_unfolded(setup):
     np.testing.assert_allclose(np.asarray(fn_fold(*args)),
                                np.asarray(fn_raw(*args)),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_dynamic_matches_static(setup):
+    from disn_tpu.infer import sparse
+    cfg, params, img = setup
+    cfg = cfg.replace(sdf_res=16)
+    a = sparse.sparse_dense_sdf(params, img, TRANS, SDF_PARAMS, cfg,
+                                stride=4, block=512, dynamic=False)
+    b = sparse.sparse_dense_sdf(params, img, TRANS, SDF_PARAMS, cfg,
+                                stride=4, block=512, dynamic=True)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
