@@ -60,9 +60,15 @@ def predict_volume(params: Params, img: np.ndarray, trans_mat: np.ndarray,
 def volume_to_mesh(vol: np.ndarray, sdf_params: np.ndarray, iso: float = 0.0,
                    clean: bool = False, max_tris: int | None = None
                    ) -> tuple[np.ndarray, np.ndarray]:
-    # device-chained path: MC + weld on device, fetch only sliced buffers
-    verts, faces = marching.extract_mesh_device(vol, sdf_params, iso=iso,
-                                                max_tris=max_tris)
+    # device-chained path: MC + weld on device, fetch only sliced buffers.
+    # Oversized caps cost real scatter/weld time (buffers scale with the
+    # cap), so start from the O(R^2) surface heuristic and retry at the
+    # configured ceiling only when a high-genus shape overflows it.
+    try:
+        verts, faces = marching.extract_mesh_device(vol, sdf_params, iso=iso)
+    except ValueError:
+        verts, faces = marching.extract_mesh_device(vol, sdf_params, iso=iso,
+                                                    max_tris=max_tris)
     if clean and len(faces):
         verts, faces = clean_small_parts(verts, faces)
     return verts, faces
