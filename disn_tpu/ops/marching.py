@@ -391,10 +391,12 @@ def extract_mesh_device(volume, sdf_params, iso: float = 0.0,
         vol, jnp.asarray(sdf_params, jnp.float32), iso=float(iso),
         max_tris=int(max_tris))
     verts_d, faces_d, n_verts_d = weld_device(tri_pos, tri_keys, count)
-    c = int(count)
+    # one combined host round trip for both sizes (each scalar fetch costs a
+    # full round trip on tunneled hosts)
+    c, nv = jax.device_get((count, n_verts_d))
+    c, nv = int(c), int(nv)
     if c > max_tris:
         raise ValueError(f"triangle overflow: {c} > cap {max_tris}")
-    nv = int(n_verts_d)
     verts = np.asarray(verts_d[:nv])
     faces = np.asarray(faces_d[:c])
     ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
