@@ -180,9 +180,11 @@ def sample_multiscale(endpoints: dict[str, jnp.ndarray],
 # Optimization log (round 1, v5e): this kernel reaches ~7.9M pts/s for the
 # 5-scale stack — parity with the XLA 4-tap gather path, not yet faster. A
 # flat-layout variant (tiles assembled from [H*W, C] via aligned sublane
-# slices, removing the [T,T,C]->[T*T,C] relayout) measured identical, and a
-# per-group scratch-slot variant regressed (VMEM pressure); the residual
-# ~1.5us/group cost is serialized dynamic-slice latency. Next candidates:
+# slices, removing the [T,T,C]->[T*T,C] relayout) measured identical, a
+# per-group scratch-slot variant regressed (VMEM pressure), and software
+# prefetch reordering of the tile reads changed nothing (~3%), so the cost
+# is NOT slice latency — suspect the one-hot build + small-matmul issue
+# rate. Next candidates:
 # software-pipelining tile loads against the previous group's matmul via
 # double-buffered scratch + explicit make_async_copy, and fusing the
 # two-stream MLP into the same kernel so sampled features never leave VMEM.

@@ -87,10 +87,12 @@ def test_e2e(workdir):
     assert len(cat["f1"]) == 6
 
     # 5b. evaluate the net's own outputs — must run even when the barely-
-    # trained net produces empty meshes for some objects
+    # trained net produces empty meshes for some objects; exercise the
+    # device-IoU and surface-protocol flags on this pass
     cli.main(["evaluate", "--data-root", data, "--pred-dir", pred_dir,
               "--gt-dir", gt_dir, "--view-num", "2", "--num-points", "256",
-              "--dim", "32", "--metrics", "cd,iou",
+              "--dim", "32", "--metrics", "cd,iou", "--device-iou",
+              "--protocol", "surface",
               "--out", os.path.join(run, "eval_net.json")])
     assert os.path.exists(os.path.join(run, "eval_net.json"))
 
