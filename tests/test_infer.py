@@ -175,3 +175,18 @@ def test_sparse_dynamic_matches_static(setup):
     b = sparse.sparse_dense_sdf(params, img, TRANS, SDF_PARAMS, cfg,
                                 stride=4, block=512, dynamic=True)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_cap_overflow_retry():
+    """A high-genus (noise) volume overflows the surface heuristic cap;
+    volume_to_mesh must retry at the configured ceiling and succeed."""
+    from disn_tpu.infer import pipeline as ip
+    from disn_tpu.ops import marching
+    rng = np.random.RandomState(0)
+    R = 33
+    vol = rng.randn(R, R, R).astype(np.float32)  # ~half the cells active
+    with pytest.raises(ValueError):
+        marching.extract_mesh_device(vol, SDF_PARAMS)  # heuristic cap
+    verts, faces = ip.volume_to_mesh(vol, SDF_PARAMS,
+                                     max_tris=12 * (R - 1) ** 3)
+    assert len(faces) > 0
