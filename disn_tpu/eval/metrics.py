@@ -157,6 +157,7 @@ def chamfer_emd(pred: jnp.ndarray, gt: jnp.ndarray
     return {"cd": cd, "emd": emd}
 
 
+@jax.jit
 def f_score(pred: jnp.ndarray, gt: jnp.ndarray, thresholds: np.ndarray
             ) -> dict[str, jnp.ndarray]:
     """Precision/recall/F1 at distance thresholds (test_f_score.py:159-181).
