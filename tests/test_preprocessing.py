@@ -99,3 +99,53 @@ def test_insideout_flip(tmp_path):
     assert not sdf_gen.check_insideout("03001627", -np.ones((3, 3, 3)))
     assert sdf_gen.check_insideout("02958343", np.ones((3, 3, 3)))
     assert not sdf_gen.check_insideout("02958343", -np.ones((3, 3, 3)))
+
+
+def test_preprocess_cli_end_to_end(tmp_path):
+    """preprocess-sdf and preprocess-img CLIs over a real mesh + rendering."""
+    from PIL import Image
+    from disn_tpu import cli
+    from disn_tpu.data import synthetic
+
+    # input mesh tree
+    verts, faces = sphere_mesh(R=33)
+    mesh_dir = tmp_path / "meshes"
+    mesh_dir.mkdir()
+    codecs.write_obj(str(mesh_dir / "sph.obj"), verts, faces)
+
+    out_dir = tmp_path / "sdf"
+    cli.main(["preprocess-sdf", "--pattern", str(mesh_dir / "*.obj"),
+              "--out-dir", str(out_dir), "--cat-id", "99999999",
+              "--res", "32", "--num-sample", "512"])
+    rec = codecs.read_sdf_h5(str(out_dir / "sph" / "ori_sample.h5"))
+    assert rec.sample_pt is not None and len(rec.sample_sdf) > 0
+    assert (tmp_path / "sdf" / "sph" / "isosurf.obj").exists()
+
+    # rendered view + metadata -> view h5
+    img8, _ = synthetic.render_view(synthetic.sdf_sphere, 30.0, 20.0, 0.85)
+    png_dir = tmp_path / "renders"
+    png_dir.mkdir()
+    Image.fromarray(img8, "RGBA").save(str(png_dir / "00.png"))
+    meta = tmp_path / "rendering_metadata.txt"
+    meta.write_text("30.0 20.0 0.0 0.85 35\n")
+    view_dir = tmp_path / "views"
+    cli.main(["preprocess-img", "--pattern", str(png_dir / "*.png"),
+              "--metadata", str(meta),
+              "--sdf-h5", str(out_dir / "sph" / "ori_sample.h5"),
+              "--out-dir", str(view_dir)])
+    view = codecs.read_view_h5(str(view_dir / "00.h5"))
+    assert view.img_arr.shape == (137, 137, 4)
+    assert view.trans_mat.shape == (4, 3)
+    # camera consistency: normalized-mesh surface points project into the
+    # rendered alpha region (same invariant as the data-pipeline test)
+    import jax.numpy as jnp
+    from disn_tpu.core import camera
+    norm = (verts - rec.norm_params[:3]) / rec.norm_params[3]
+    px = np.asarray(camera.project_points(
+        jnp.asarray(norm[None, ::7]), jnp.asarray(view.trans_mat[None])))[0]
+    alpha = view.img_arr[:, :, 3] > 0
+    from scipy import ndimage
+    grown = ndimage.binary_dilation(alpha, iterations=3)
+    xi = np.clip(np.round(px[:, 0]).astype(int), 0, 136)
+    yi = np.clip(np.round(px[:, 1]).astype(int), 0, 136)
+    assert grown[yi, xi].mean() > 0.9
