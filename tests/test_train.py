@@ -198,3 +198,23 @@ def test_end_to_end_fixture_training(tmp_path):
     assert len(losses) == len(loader)
     assert np.isfinite(losses).all()
     loader.shutdown()
+
+
+def test_profiler_trace_and_timer(tmp_path):
+    """utils.logging: jax profiler trace context writes a trace; Timer EMA."""
+    from disn_tpu.utils import Timer
+    from disn_tpu.utils.logging import trace
+    import glob as g
+    import jax.numpy as jnp
+
+    with trace(str(tmp_path / "tr")):
+        _ = (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    assert g.glob(str(tmp_path / "tr" / "**" / "*.xplane.pb"),
+                  recursive=True)
+    # no-op when dir is None
+    with trace(None):
+        pass
+    t = Timer()
+    with t.phase("x"):
+        pass
+    assert "x" in t.summary()
