@@ -288,3 +288,130 @@ def sparse_dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         return dense_mod.dense_sdf(params, img, trans_mat, sdf_params, cfg,
                                    block=block, device_out=device_out)
     return vol if device_out else np.asarray(vol)
+
+
+def make_sharded_sparse_fn(cfg: Config, mesh, stride: int = 4,
+                           block: int = 65536,
+                           cell_cap_frac: float = 0.25,
+                           band_factor: float = 1.5):
+    """Multi-chip sparse inference: the ACTIVE-CELL block space is striped
+    over the mesh 'points' axis via shard_map (SURVEY.md §2.9 P3 applied to
+    the production path). The cheap coarse pass runs replicated on every
+    device (~6% of the work); each device refines its own stripe of fine
+    blocks and its share of the boundary planes; the gathered values scatter
+    into the volume once outside the shard_map. Returns (fn, cell_cap)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from disn_tpu.parallel.mesh import POINT_AXIS
+
+    sizes, phase_a, _ = _sparse_parts(cfg, stride, block, cell_cap_frac,
+                                      band_factor)
+    fine_r = cfg.grid_resolution
+    coarse_cfg = _coarse_grid_cfg(cfg, stride)
+    rc = coarse_cfg.grid_resolution
+    c = rc - 1
+    pts_per_cell = stride ** 3
+    cells_per_block = sizes["cells_per_block"]
+    n_dev = mesh.shape[POINT_AXIS]
+    if int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                    if a != POINT_AXIS])) > 1:
+        raise ValueError("use a points-only mesh for sparse inference")
+    # stripe the cell blocks; round the cap up so it divides evenly
+    blocks_per_dev = -(-sizes["max_blocks"] // n_dev)
+    cell_cap = blocks_per_dev * n_dev * cells_per_block
+    n_plane = fine_r * fine_r
+    plane_blocks = -(-(-(-3 * n_plane // block)) // n_dev)  # per device
+    fold = False
+
+    def worker(params, img, trans_mat, sdf_params):
+        embedding, endpoints = dense_mod._prep(params, img, cfg,
+                                               fold_local=fold)
+        coarse_total = -(-rc ** 3 // block) * block
+        vol_c = dense_mod._stream_blocks(
+            params, endpoints, embedding, trans_mat, sdf_params, coarse_cfg,
+            jnp.int32(0), coarse_total, block,
+            folded=fold)[:rc ** 3].reshape(rc, rc, rc)
+        span = sdf_params[3:6] - sdf_params[0:3]
+        cell_diag = jnp.sqrt(jnp.sum(jnp.square(span / (rc - 1))))
+        cell_ids, count = _active_cells(vol_c, band_factor * cell_diag,
+                                        cell_cap)
+        dev = jax.lax.axis_index(POINT_AXIS)
+
+        def fine_block(i):
+            q = i * block + jnp.arange(block, dtype=jnp.int32)
+            slot = q // pts_per_cell
+            off = q % pts_per_cell
+            block_cells = jax.lax.dynamic_slice_in_dim(
+                cell_ids, i * cells_per_block, cells_per_block)
+            cell = jnp.repeat(block_cells, pts_per_cell)
+            cz = cell // (c * c)
+            cy = (cell // c) % c
+            cx = cell % c
+            fx = cx * stride + off % stride
+            fy = cy * stride + (off // stride) % stride
+            fz = cz * stride + off // (stride * stride)
+            denom = jnp.float32(fine_r - 1)
+            lo = sdf_params[0:3]
+            hi = sdf_params[3:6]
+            pts = jnp.stack([
+                lo[0] + fx.astype(jnp.float32) / denom * (hi[0] - lo[0]),
+                lo[1] + fy.astype(jnp.float32) / denom * (hi[1] - lo[1]),
+                lo[2] + fz.astype(jnp.float32) / denom * (hi[2] - lo[2]),
+            ], axis=-1)
+            vals = dense_mod._decode_block(params, endpoints, embedding,
+                                           trans_mat, pts, cfg, folded=fold)
+            flat = (fz * fine_r + fy) * fine_r + fx
+            return vals, jnp.where(slot < count, flat, fine_r ** 3)
+
+        my_blocks = dev * blocks_per_dev + jnp.arange(blocks_per_dev,
+                                                      dtype=jnp.int32)
+        vals, flats = jax.lax.map(fine_block, my_blocks)
+
+        def plane_block(i):
+            q = i * block + jnp.arange(block, dtype=jnp.int32)
+            plane = q // n_plane
+            r = q % n_plane
+            a = r // fine_r
+            b_ = r % fine_r
+            last = fine_r - 1
+            fx = jnp.where(plane == 2, last, b_)
+            fy = jnp.where(plane == 0, a, jnp.where(plane == 1, last, b_))
+            fz = jnp.where(plane == 0, last, a)
+            denom = jnp.float32(fine_r - 1)
+            lo = sdf_params[0:3]
+            hi = sdf_params[3:6]
+            pts = jnp.stack([
+                lo[0] + fx.astype(jnp.float32) / denom * (hi[0] - lo[0]),
+                lo[1] + fy.astype(jnp.float32) / denom * (hi[1] - lo[1]),
+                lo[2] + fz.astype(jnp.float32) / denom * (hi[2] - lo[2]),
+            ], axis=-1)
+            v = dense_mod._decode_block(params, endpoints, embedding,
+                                        trans_mat, pts, cfg, folded=fold)
+            flat = (fz * fine_r + fy) * fine_r + fx
+            return v, jnp.where(q < 3 * n_plane, flat, fine_r ** 3)
+
+        my_planes = dev * plane_blocks + jnp.arange(plane_blocks,
+                                                    dtype=jnp.int32)
+        pvals, pflats = jax.lax.map(plane_block, my_planes)
+        return (vals[None], flats[None], pvals[None], pflats[None],
+                vol_c[None], count[None])
+
+    sharded = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(POINT_AXIS), P(POINT_AXIS), P(POINT_AXIS),
+                   P(POINT_AXIS), P(POINT_AXIS), P(POINT_AXIS)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(params, img, trans_mat, sdf_params):
+        vals, flats, pvals, pflats, vol_cs, counts = sharded(
+            params, img, trans_mat, sdf_params)
+        vol = _upsample_aligned(vol_cs[0], stride).reshape(-1)
+        vol = vol.at[flats.reshape(-1)].set(vals.reshape(-1), mode="drop")
+        vol = vol.at[pflats.reshape(-1)].set(pvals.reshape(-1), mode="drop")
+        return vol.reshape(fine_r, fine_r, fine_r), counts[0]
+
+    return fn, cell_cap

@@ -190,3 +190,24 @@ def test_mesh_cap_overflow_retry():
     verts, faces = ip.volume_to_mesh(vol, SDF_PARAMS,
                                      max_tris=12 * (R - 1) ** 3)
     assert len(faces) > 0
+
+
+def test_sparse_sharded_matches_single(setup):
+    """Points-striped sparse inference over the virtual mesh == single-device
+    sparse (the production multi-chip path)."""
+    from disn_tpu.infer import sparse
+    from disn_tpu.parallel import make_mesh
+    cfg, params, img = setup
+    cfg = cfg.replace(sdf_res=16)
+    single = sparse.sparse_dense_sdf(params, img, TRANS, SDF_PARAMS, cfg,
+                                     stride=4, block=512)
+    mesh = make_mesh(data=1, points=len(jax.devices()))
+    fn, cap = sparse.make_sharded_sparse_fn(cfg, mesh, stride=4, block=512)
+    import jax.numpy as jnp
+    dev_params = jax.device_put(
+        params, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+    vol, count = fn(dev_params, jnp.asarray(img), jnp.asarray(TRANS),
+                    jnp.asarray(SDF_PARAMS))
+    assert int(count) <= cap
+    np.testing.assert_allclose(np.asarray(vol), single, rtol=1e-4, atol=1e-5)
