@@ -50,7 +50,10 @@ def predict_volume(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         vals = np.asarray(fwd(params, jnp.asarray(img)))[0]
         r = round(len(vals) ** (1 / 3))
         return vals.reshape(r, r, r)
-    if sparse and cfg.sdf_res % 4 == 0:
+    # binary-head outputs are (softmax-0.5)/10, bounded to ±0.05: the
+    # Lipschitz band test saturates and sparse would always overflow to the
+    # dense fallback anyway — route directly and skip the wasted coarse pass
+    if sparse and cfg.sdf_res % 4 == 0 and not cfg.binary:
         return sparse_mod.sparse_dense_sdf(params, img, trans_mat, sdf_params,
                                            cfg, block=block, device_out=True)
     return dense_mod.dense_sdf(params, img, trans_mat, sdf_params, cfg,

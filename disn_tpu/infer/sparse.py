@@ -14,6 +14,11 @@ Static-shape design (XLA): active cells are compacted with the same
 cumsum+scatter(drop) trick as ops/marching.py into a fixed-cap cell list;
 overflow is detected via the returned count and the wrapper falls back to the
 exact dense path, so results are ALWAYS correct.
+
+NOTE: the culling argument requires distance-like values; the BINARY variant
+emits (softmax-0.5)/10 in ±0.05, which saturates the band test — every cell
+stays active and the wrapper falls back to dense. infer/pipeline routes
+binary straight to the dense path.
 """
 from __future__ import annotations
 
