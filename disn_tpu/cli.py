@@ -79,6 +79,10 @@ def setup_jax(args) -> None:
 def data_handles(cfg: Config, data_root: str, split: str, cam_est: bool = False):
     from disn_tpu.data import listing
     lst_dir = os.path.join(data_root, "filelists")
+    if not os.path.isdir(lst_dir):
+        # fall back to the bundled ShapeNet split lists (reference
+        # data/filelists/*.lst) when the data tree doesn't carry its own
+        lst_dir = listing.BUNDLED_FILELISTS
     renders = os.path.join(
         data_root, "renders_camest" if cam_est else "renders")
     cats = dict(CATS)

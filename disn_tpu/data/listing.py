@@ -12,6 +12,10 @@ from dataclasses import dataclass
 
 ListInfo = list[tuple[str, str, int]]
 
+#: Bundled copies of the reference's 26 ShapeNet split lists
+#: (data/filelists/<synset>_{train,test}.lst — 13 categories, 38,317 ids).
+BUNDLED_FILELISTS = os.path.join(os.path.dirname(__file__), "filelists")
+
 
 def read_lst(path: str) -> list[str]:
     with open(path) as f:
@@ -26,6 +30,8 @@ def load_split(lst_dir: str, cats: dict[str, str], split: str,
     category file `<lst_dir>/<synset>_<split>.lst`, every object contributes
     `view_num` entries (one per rendered view); `cats_limit[cat]` counts them.
     """
+    if not lst_dir:
+        lst_dir = BUNDLED_FILELISTS
     listinfo: ListInfo = []
     cats_limit: dict[str, int] = {}
     for _, cat_id in sorted(cats.items()):

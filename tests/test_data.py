@@ -164,3 +164,30 @@ def test_view_cache_not_mutated_by_augmentation(fixture_ds):
     np.testing.assert_array_equal(rec_cached.img_arr, raw1)
     # backcolorwhite is deterministic, so repeated fetches agree
     np.testing.assert_array_equal(a, b)
+
+
+def test_bundled_shapenet_filelists():
+    """The 26 reference split lists ship with the package; real counts hold
+    (reference data/filelists: chair 03001627 train 5268 / test 1311)."""
+    from disn_tpu.config import CATS
+    import os
+
+    assert os.path.isdir(listing.BUNDLED_FILELISTS)
+    for split in ("train", "test"):
+        for cat_id in CATS.values():
+            assert os.path.exists(os.path.join(
+                listing.BUNDLED_FILELISTS, f"{cat_id}_{split}.lst")), cat_id
+
+    listinfo, cats_limit = listing.load_split("", dict(CATS), "train",
+                                              view_num=24)
+    assert cats_limit["03001627"] == 5268 * 24
+    assert len(cats_limit) == 13
+    test_info, test_limit = listing.load_split(
+        listing.BUNDLED_FILELISTS, dict(CATS), "test", view_num=24)
+    assert test_limit["03001627"] == 1311 * 24
+
+    # EpochSampler quotas honour the reference's cat_limit=36000 config
+    sampler = pipeline.EpochSampler(listinfo, cats_limit, cat_limit=36000)
+    order = sampler.epoch_order()
+    assert len(order) == sum(min(36000, n) for n in cats_limit.values())
+    assert len(order) <= 13 * 36000
