@@ -111,6 +111,9 @@ class Config:
     # direct sample of the original maps (fast path, equivalent off-edge)
     data_axis: str = "data"          # mesh axis for batch sharding
     point_axis: str = "points"       # mesh axis for query-point sharding
+    fused_kernel: str = "auto"       # Pallas fused sample+MLP decode kernel
+    # ("auto" | "on" | "off"); serves twostream+tf1 inference, exact vs the
+    # XLA path (escaped cells are rescued in-jit — see infer/fused.py)
 
     # ---- inference ---------------------------------------------------------
     iso: float = 0.0               # marching-cubes iso surface at inference

@@ -47,15 +47,46 @@ def scale_pred(pred: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     return pred[..., 0] / cfg.sdf_weight
 
 
+def normalize_fold(fold, cfg: Config) -> str:
+    """Resolve a fold mode: 'none' | 'local' | '137' (bool/None accepted).
+
+    '137' exploits that the reference's tf1 sampling composition
+    (resize-to-137 THEN resample, model_normalization.py:171-185) samples
+    every scale at the SAME 137-space coordinates, and both resize and
+    resampling are linear in the map values:
+
+        concat_s(sample(resize(m_s))) @ W_local
+            == sum_s sample(resize(m_s)) @ W_s
+            == sample( sum_s resize(m_s @ W_s) )
+
+    so the five endpoint maps and the per-point 1472->512 matmul collapse
+    into ONE [137,137,512] map built once per image (~10 GFLOP of MXU work).
+    Per-point sampling drops from 20 gather taps (5888 values) to 4 taps
+    (2048 values). Only the tf1 sampling mode has a single shared coordinate
+    space; 'native' samples each original map at its own scale and cannot
+    merge, so it defaults to the unfolded path."""
+    if fold is None or fold == "auto":
+        return ("137" if (cfg.variant is Variant.TWOSTREAM
+                          and cfg.sampling == "tf1") else "none")
+    if fold is True:
+        return "local"
+    if fold is False:
+        return "none"
+    assert fold in ("none", "local", "137"), fold
+    return fold
+
+
 def _decode_block(params: Params, endpoints: dict[str, jnp.ndarray],
                   embedding: jnp.ndarray, trans_mat: jnp.ndarray,
                   pts: jnp.ndarray, cfg: Config,
-                  folded: bool = False) -> jnp.ndarray:
+                  folded: str = "none") -> jnp.ndarray:
     """[P,3] points -> [P] sdf values for one image (no batch dim).
 
-    folded=True expects endpoints pre-multiplied by the local-stream fold2
-    weight slices (_prep(fold_local=True)): the per-point 1472->512 matmul
-    disappears and per-scale samples SUM instead of concatenating."""
+    folded='local' expects endpoints pre-multiplied by the local-stream fold2
+    weight slices (_prep(fold='local')): the per-point 1472->512 matmul
+    disappears and per-scale samples SUM instead of concatenating.
+    folded='137' expects the single merged 137-space map + per-image global
+    contribution from _prep(fold='137') (see normalize_fold)."""
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     pts_b = pts[None]  # [1,P,3]
     if cfg.variant in (Variant.TWOSTREAM, Variant.ONESTREAM):
@@ -65,7 +96,12 @@ def _decode_block(params: Params, endpoints: dict[str, jnp.ndarray],
                  else vgg.ENDPOINTS[:3])
         sample = (image_ops.sample_native if cfg.sampling == "native"
                   else image_ops.resize_then_sample)
-        if folded and cfg.variant is Variant.TWOSTREAM:
+        if folded == "137" and cfg.variant is Variant.TWOSTREAM:
+            local_contrib = image_ops.resampler(endpoints["fold137"], px)
+            pred = sdfnet.apply_two_stream_prefold(
+                params["sdfprediction"], params["sdfprediction_imgfeat"],
+                pts_b, endpoints["g_contrib"], local_contrib, cd)
+        elif folded == "local" and cfg.variant is Variant.TWOSTREAM:
             contrib = None
             for n in names:
                 s = sample(endpoints[n], px, cfg.img_h, cfg.img_w)
@@ -101,7 +137,7 @@ def _decode_block(params: Params, endpoints: dict[str, jnp.ndarray],
 
 def _stream_blocks(params, endpoints, embedding, trans_mat, sdf_params,
                    cfg: Config, start: jnp.ndarray, count: int,
-                   block: int, folded: bool = False) -> jnp.ndarray:
+                   block: int, folded: str = "none") -> jnp.ndarray:
     """SDF values for flat grid indices [start, start+count) in `block` steps."""
     n_blocks = count // block
     resolution = cfg.grid_resolution
@@ -116,18 +152,23 @@ def _stream_blocks(params, endpoints, embedding, trans_mat, sdf_params,
 
 
 def _prep(params: Params, img: jnp.ndarray, cfg: Config,
-          fold_local: bool = False):
+          fold_local: str = "none"):
     """Encode the image once; cast endpoint maps to the compute dtype.
 
-    fold_local=True pre-multiplies each endpoint map by its slice of the
+    fold_local='local' pre-multiplies each endpoint map by its slice of the
     local stream's fold2/conv1 weight (legal because feature sampling is
     linear in the map values; ~6 GFLOP once per image) — the per-point
-    1472->512 matmul then vanishes from the hot loop (-34% point FLOPs)."""
+    1472->512 matmul then vanishes from the hot loop (-34% point FLOPs).
+    fold_local='137' additionally resizes each folded map to the shared
+    137-space and SUMS them into one [1,137,137,512] map (see
+    normalize_fold): per-point work becomes 4 gather taps + pure point MLP.
+    The per-image global-stream contribution embedding @ W_g[512:] is also
+    precomputed here."""
     embedding, endpoints = disn.encode(params, img, cfg)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     keep = (vgg.ENDPOINTS if cfg.variant is Variant.TWOSTREAM
             else vgg.ENDPOINTS[:3])
-    if fold_local and cfg.variant is Variant.TWOSTREAM:
+    if fold_local in ("local", "137") and cfg.variant is Variant.TWOSTREAM:
         _, w_local = sdfnet.split_local_fold2(params["sdfprediction_imgfeat"])
         w_local = w_local.astype(cd)
         out = {}
@@ -138,7 +179,17 @@ def _prep(params: Params, img: jnp.ndarray, cfg: Config,
                 "bhwc,cd->bhwd", endpoints[n].astype(cd),
                 w_local[off:off + c])
             off += c
-        return embedding, out
+        if fold_local == "local":
+            return embedding, out
+        merged = None
+        for n in keep:
+            r = image_ops.resize_bilinear(out[n], cfg.img_h, cfg.img_w)
+            merged = r if merged is None else merged + r
+        wg = params["sdfprediction"]["fold2"]["conv1"]["weights"]
+        g_contrib = jax.lax.dot_general(
+            embedding.astype(cd), wg[512:].astype(cd),
+            dimension_numbers=(((1,), (0,)), ((), ())))
+        return embedding, {"fold137": merged, "g_contrib": g_contrib}
     endpoints = {n: endpoints[n].astype(cd) for n in keep}
     return embedding, endpoints
 
@@ -149,24 +200,43 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=32)
 def make_dense_sdf_fn(cfg: Config, block: int = 65536,
-                      fold_local: bool | None = None):
+                      fold_local: bool | str | None = None):
     """Single-device jitted fn: (params, img[1,H,W,C], trans_mat[4,3],
     sdf_params[6]) -> [R,R,R] float32 volume (z,y,x indexed, x fastest).
 
-    fold_local folds the local-stream weight into the maps (-34% point
-    FLOPs) but uniformizes every gather row to 512 channels (~1.7x gather
-    traffic) — measured SLOWER on v5e where XLA gathers are the bottleneck
-    (3.13s vs 2.38s at 257^3), so it defaults OFF; it becomes profitable once
-    sampling runs in the Pallas tiled kernel."""
+    fold_local (see normalize_fold): None resolves to '137' for
+    twostream+tf1 (the production fast path), else 'none'. 'local' folds the
+    weight into the per-scale maps but uniformizes every gather row to 512
+    channels (~1.7x gather traffic) — measured SLOWER on v5e where XLA
+    gathers are the bottleneck (3.13s vs 2.38s at 257^3); kept for the
+    Pallas tiled-sampler path."""
     resolution = cfg.grid_resolution
     total = resolution ** 3
     block = min(block, _round_up(total, 8))
     padded = _round_up(total, block)
-    fold = False if fold_local is None else fold_local
+    fold = normalize_fold(fold_local, cfg)
+    from disn_tpu.infer import fused
+    use_kernel = fused.kernel_enabled(cfg, fold, fused.STRIDE, resolution)
 
     @jax.jit
     def fn(params, img, trans_mat, sdf_params):
         embedding, endpoints = _prep(params, img, cfg, fold_local=fold)
+        if use_kernel:
+            vol, esc_over = fused.dense_grid_via_cells(
+                params, endpoints, trans_mat, sdf_params, resolution, cfg,
+                plane_block=block)
+            # escaped cells beyond the rescue cap would be junk; guarantee
+            # exactness by re-decoding the whole grid on the XLA path then
+            # (lax.cond: free unless a pathological camera triggers it)
+            def exact(_):
+                vals = _stream_blocks(params, endpoints, embedding,
+                                      trans_mat, sdf_params, cfg,
+                                      jnp.int32(0), padded, block,
+                                      folded=fold)
+                return vals[:total].astype(jnp.float32).reshape(
+                    (resolution,) * 3)
+
+            return jax.lax.cond(esc_over > 0, exact, lambda _: vol, 0)
         vals = _stream_blocks(params, endpoints, embedding, trans_mat,
                               sdf_params, cfg, jnp.int32(0), padded, block,
                               folded=fold)
@@ -192,7 +262,7 @@ def make_sharded_dense_sdf_fn(cfg: Config, mesh: Mesh, block: int = 65536):
     # when a data axis exists
     axes = tuple(mesh.axis_names)
 
-    fold = False  # see make_dense_sdf_fn: gather-bound on current backend
+    fold = normalize_fold(None, cfg)
 
     def worker(params, img, trans_mat, sdf_params):
         embedding, endpoints = _prep(params, img, cfg, fold_local=fold)

@@ -110,22 +110,31 @@ def _sparse_parts(cfg: Config, stride: int, block: int,
     cell_cap = -(-cell_cap // cells_per_block) * cells_per_block
     max_blocks = cell_cap // cells_per_block
     coarse_fn_total = -(-rc ** 3 // block) * block
-    fold = False  # see dense.make_dense_sdf_fn: gather-bound backend
+    fold = dense_mod.normalize_fold(None, cfg)
+    from disn_tpu.infer import fused
+    use_kernel_fine = fused.kernel_enabled(cfg, fold, stride, fine_r)
+    use_kernel_coarse = fused.kernel_enabled(cfg, fold, fused.STRIDE, rc)
 
     def phase_a(params, img, trans_mat, sdf_params):
         embedding, endpoints = dense_mod._prep(params, img, cfg,
                                                fold_local=fold)
-        vol_c = dense_mod._stream_blocks(
-            params, endpoints, embedding, trans_mat, sdf_params, coarse_cfg,
-            jnp.int32(0), coarse_fn_total, block,
-            folded=fold)[:rc ** 3].reshape(rc, rc, rc)
+        if use_kernel_coarse:
+            vol_c, esc_a = fused.dense_grid_via_cells(
+                params, endpoints, trans_mat, sdf_params, rc, cfg,
+                plane_block=block)
+        else:
+            vol_c = dense_mod._stream_blocks(
+                params, endpoints, embedding, trans_mat, sdf_params,
+                coarse_cfg, jnp.int32(0), coarse_fn_total, block,
+                folded=fold)[:rc ** 3].reshape(rc, rc, rc)
+            esc_a = jnp.int32(0)
         # conservative band: surface can hide in a cell only if some corner
         # |sdf| < band_factor * cell world diagonal (Lipschitz-1 argument)
         span = sdf_params[3:6] - sdf_params[0:3]
         cell_diag = jnp.sqrt(jnp.sum(jnp.square(span / (rc - 1))))
         cell_ids, count = _active_cells(vol_c, band_factor * cell_diag,
                                         cell_cap)
-        return embedding, endpoints, vol_c, cell_ids, count
+        return embedding, endpoints, vol_c, cell_ids, count, esc_a
 
     c = rc - 1
 
@@ -160,8 +169,21 @@ def _sparse_parts(cfg: Config, stride: int, block: int,
             valid = slot < count
             return vals, jnp.where(valid, flat, fine_r ** 3)
 
-        vals, flats = jax.lax.map(fine_block,
-                                  jnp.arange(n_blocks, dtype=jnp.int32))
+        if use_kernel_fine:
+            from disn_tpu.infer import fused as fused_mod
+            n_kcells = n_blocks * cells_per_block
+            kcells = cell_ids[:n_kcells]
+            vals, esc_b = fused_mod.decode_cells(
+                params, endpoints, trans_mat, sdf_params, kcells, cfg,
+                fine_r=fine_r, coarse_c=c)
+            _, kflats = fused_mod._cell_points(kcells, c, fine_r, sdf_params)
+            kslot = jnp.arange(n_kcells * pts_per_cell,
+                               dtype=jnp.int32) // pts_per_cell
+            flats = jnp.where(kslot < count, kflats, fine_r ** 3)
+        else:
+            vals, flats = jax.lax.map(fine_block,
+                                      jnp.arange(n_blocks, dtype=jnp.int32))
+            esc_b = jnp.int32(0)
 
         # boundary planes: fine indices R-1 in any axis are owned by no
         # cell's stride^3 low-corner block; evaluate them exactly (3R^2 pts)
@@ -197,7 +219,7 @@ def _sparse_parts(cfg: Config, stride: int, block: int,
         vol = _upsample_aligned(vol_c, stride).reshape(-1)
         vol = vol.at[flats.reshape(-1)].set(vals.reshape(-1), mode="drop")
         vol = vol.at[pflats.reshape(-1)].set(pvals.reshape(-1), mode="drop")
-        return vol.reshape(fine_r, fine_r, fine_r)
+        return vol.reshape(fine_r, fine_r, fine_r), esc_b
 
     sizes = dict(cell_cap=cell_cap, cells_per_block=cells_per_block,
                  max_blocks=max_blocks)
@@ -210,20 +232,23 @@ def make_sparse_dense_sdf_fn(cfg: Config, stride: int = 4,
                              cell_cap_frac: float = 0.25,
                              band_factor: float = 1.5):
     """Jitted (params, img, trans_mat, sdf_params) ->
-    (volume [R,R,R] f32, active_count i32); second return is cell_cap.
+    (volume [R,R,R] f32, active_count i32, esc_over i32); second return of
+    the factory is cell_cap.
 
     Single-jit variant (vmap/dryrun friendly): the fine pass always runs the
-    full cell cap. Caller must check active_count <= cell_cap."""
+    full cell cap. Caller must check active_count <= cell_cap and
+    esc_over == 0 (fused-kernel escape-rescue overflow; see infer/fused)."""
     sizes, phase_a, finish = _sparse_parts(cfg, stride, block,
                                            cell_cap_frac, band_factor)
 
     @jax.jit
     def fn(params, img, trans_mat, sdf_params):
-        embedding, endpoints, vol_c, cell_ids, count = phase_a(
+        embedding, endpoints, vol_c, cell_ids, count, esc_a = phase_a(
             params, img, trans_mat, sdf_params)
-        vol = finish(params, embedding, endpoints, vol_c, cell_ids, count,
-                     trans_mat, sdf_params, sizes["max_blocks"])
-        return vol, count
+        vol, esc_b = finish(params, embedding, endpoints, vol_c, cell_ids,
+                            count, trans_mat, sdf_params,
+                            sizes["max_blocks"])
+        return vol, count, esc_a + esc_b
 
     return fn, sizes["cell_cap"]
 
@@ -269,7 +294,7 @@ def sparse_dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                                 band_factor)
     if dynamic:
         pa = _phase_a_jit(cfg, stride, block, cell_cap_frac, band_factor)
-        embedding, endpoints, vol_c, cell_ids, count = pa(
+        embedding, endpoints, vol_c, cell_ids, count, esc_a = pa(
             params, jnp.asarray(img), jnp.asarray(trans_mat),
             jnp.asarray(sdf_params))
         c = int(count)
@@ -281,17 +306,32 @@ def sparse_dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                        _pow2(max(1, -(-c // sizes["cells_per_block"]))))
         pb = _phase_b_jit(cfg, stride, block, cell_cap_frac, band_factor,
                           n_blocks)
-        vol = pb(params, embedding, endpoints, vol_c, cell_ids, count,
-                 jnp.asarray(trans_mat), jnp.asarray(sdf_params))
+        vol, esc_b = pb(params, embedding, endpoints, vol_c, cell_ids, count,
+                        jnp.asarray(trans_mat), jnp.asarray(sdf_params))
+        if int(esc_a) + int(esc_b) > 0:
+            # fused-kernel escape-rescue overflow (pathological camera):
+            # redo on the exact XLA path
+            return sparse_dense_sdf(
+                params, img, trans_mat, sdf_params,
+                cfg.replace(fused_kernel="off"), stride=stride, block=block,
+                cell_cap_frac=cell_cap_frac, band_factor=band_factor,
+                device_out=device_out, dynamic=True)
         return vol if device_out else np.asarray(vol)
     fn, cap = make_sparse_dense_sdf_fn(cfg, stride=stride, block=block,
                                        cell_cap_frac=cell_cap_frac,
                                        band_factor=band_factor)
-    vol, count = fn(params, jnp.asarray(img), jnp.asarray(trans_mat),
-                    jnp.asarray(sdf_params))
+    vol, count, esc = fn(params, jnp.asarray(img), jnp.asarray(trans_mat),
+                         jnp.asarray(sdf_params))
     if int(count) > cap:
         return dense_mod.dense_sdf(params, img, trans_mat, sdf_params, cfg,
                                    block=block, device_out=device_out)
+    if int(esc) > 0:
+        return sparse_dense_sdf(params, img, trans_mat, sdf_params,
+                                cfg.replace(fused_kernel="off"),
+                                stride=stride, block=block,
+                                cell_cap_frac=cell_cap_frac,
+                                band_factor=band_factor,
+                                device_out=device_out)
     return vol if device_out else np.asarray(vol)
 
 
@@ -327,7 +367,7 @@ def make_sharded_sparse_fn(cfg: Config, mesh, stride: int = 4,
     cell_cap = blocks_per_dev * n_dev * cells_per_block
     n_plane = fine_r * fine_r
     plane_blocks = -(-(-(-3 * n_plane // block)) // n_dev)  # per device
-    fold = False
+    fold = dense_mod.normalize_fold(None, cfg)
 
     def worker(params, img, trans_mat, sdf_params):
         embedding, endpoints = dense_mod._prep(params, img, cfg,

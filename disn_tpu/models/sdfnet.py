@@ -151,6 +151,52 @@ def apply_two_stream_split(global_params: dict, local_params: dict,
     return pred_g + pred_l
 
 
+def apply_two_stream_prefold(global_params: dict, local_params: dict,
+                             pts: jnp.ndarray, g_contrib: jnp.ndarray,
+                             local_contrib: jnp.ndarray,
+                             compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Two-stream decode with BOTH per-image contributions precomputed.
+
+    g_contrib [B,512] = embedding @ W_g[512:] (once per image); local_contrib
+    [B,N,512] = the per-point sample of the folded 137-space feature map
+    (infer/dense._prep fold='137'). The hot loop is then pure point MLP:
+    fold1 (3->64->256->512), one 512x512 matmul + adds, and the 512->256->out
+    tail per stream — no concat buffers, no per-point wide matmuls.
+    Numerically identical to apply_two_stream_split up to float summation
+    order (tested)."""
+    cd = compute_dtype
+
+    def fold1(params, h):
+        h = layers.dense(params["fold1"]["conv1"], h, compute_dtype=cd)
+        h = layers.dense(params["fold1"]["conv2"], h, compute_dtype=cd)
+        return layers.dense(params["fold1"]["conv3"], h, compute_dtype=cd)
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x.astype(cd), w.astype(cd),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))
+
+    def tail(params, pre):
+        h = jax.nn.relu(pre)
+        h = layers.dense(params["fold2"]["conv2"], h, compute_dtype=cd)
+        last = "conv5_bi" if "conv5_bi" in params["fold2"] else "conv5"
+        return layers.dense(params["fold2"][last], h, relu=False,
+                            compute_dtype=cd)
+
+    hg = fold1(global_params, pts)
+    wg = global_params["fold2"]["conv1"]["weights"]
+    pre_g = (mm(hg, wg[:512]) + g_contrib.astype(cd)[:, None, :]
+             + global_params["fold2"]["conv1"]["biases"].astype(cd))
+    pred_g = tail(global_params, pre_g)
+
+    hl = fold1(local_params, pts)
+    wl = local_params["fold2"]["conv1"]["weights"]
+    pre_l = (mm(hl, wl[:512]) + local_contrib.astype(cd)
+             + local_params["fold2"]["conv1"]["biases"].astype(cd))
+    pred_l = tail(local_params, pre_l)
+    return pred_g + pred_l
+
+
 def apply_local_head_folded(params: dict, pts: jnp.ndarray,
                             local_contrib: jnp.ndarray,
                             compute_dtype=jnp.float32) -> jnp.ndarray:

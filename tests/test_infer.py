@@ -166,6 +166,37 @@ def test_folded_matches_unfolded(setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fold137_matches_unfolded(setup):
+    """Merging the five resized folded maps into ONE 137-space map (see
+    dense.normalize_fold) is exact up to float summation order: the volume
+    must match the unfolded tf1 decode tightly in f32."""
+    cfg, params, img = setup
+    assert cfg.sampling == "tf1"
+    assert dense.normalize_fold(None, cfg) == "137"
+    fn_fold = dense.make_dense_sdf_fn(cfg, block=128, fold_local="137")
+    fn_raw = dense.make_dense_sdf_fn(cfg, block=128, fold_local="none")
+    args = (params, jnp.asarray(img), jnp.asarray(TRANS),
+            jnp.asarray(SDF_PARAMS))
+    np.testing.assert_allclose(np.asarray(fn_fold(*args)),
+                               np.asarray(fn_raw(*args)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fold137_binary_variant():
+    """fold137 is head-agnostic: the binary twin decodes identically."""
+    cfg = tiny_cfg(binary=True)
+    params = disn.init(cfg, jax.random.PRNGKey(2))
+    img = np.asarray(jax.random.uniform(jax.random.PRNGKey(3),
+                                        (1, 137, 137, 3)), np.float32)
+    fn_fold = dense.make_dense_sdf_fn(cfg, block=128, fold_local="137")
+    fn_raw = dense.make_dense_sdf_fn(cfg, block=128, fold_local="none")
+    args = (params, jnp.asarray(img), jnp.asarray(TRANS),
+            jnp.asarray(SDF_PARAMS))
+    np.testing.assert_allclose(np.asarray(fn_fold(*args)),
+                               np.asarray(fn_raw(*args)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_sparse_dynamic_matches_static(setup):
     from disn_tpu.infer import sparse
     cfg, params, img = setup
