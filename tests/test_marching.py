@@ -118,6 +118,76 @@ def test_device_weld_empty():
     assert len(v) == 0 and len(f) == 0
 
 
+def _mesh_sets(v, f):
+    tris = np.sort(np.sort(v[f].reshape(len(f), -1), axis=1), axis=0)
+    return np.sort(v, axis=0), tris
+
+
+@pytest.mark.parametrize("case", ["sphere", "boundary", "plane", "random",
+                                  "iso"])
+def test_owned_matches_sorted_weld(case):
+    """The owned-edge extractor (production) against the independent
+    marching_tets + sort-weld implementation: identical welded vertex sets
+    and triangle sets, including surfaces cut by the volume boundary (ghost
+    cells) and the ghost-edge aliasing suppression."""
+    iso = 0.0
+    if case == "sphere":
+        vol = sphere_volume(R=17)
+    elif case == "boundary":
+        vol = sphere_volume(R=17, r=1.3)  # sphere larger than the box
+    elif case == "plane":
+        lin = np.linspace(-1, 1, 17, dtype=np.float32)
+        zz, _, _ = np.meshgrid(lin, lin, lin, indexing="ij")
+        vol = (zz - 0.1).astype(np.float32)
+    elif case == "random":
+        vol = np.random.RandomState(3).randn(9, 9, 9).astype(np.float32)
+    else:
+        vol = sphere_volume(R=17)
+        iso = 0.07
+    hv, hf = marching.extract_mesh_device_sorted(vol, PARAMS, iso=iso)
+    ov, of_ = marching.extract_mesh_owned(vol, PARAMS, iso=iso, batch=512)
+    assert len(ov) == len(hv) and len(of_) == len(hf)
+    hvs, hts = _mesh_sets(hv, hf)
+    ovs, ots = _mesh_sets(ov, of_)
+    np.testing.assert_allclose(ovs, hvs, atol=1e-6)
+    np.testing.assert_allclose(ots, hts, atol=1e-6)
+    # welded: no duplicate vertices, no orphans
+    assert len(np.unique(ov.round(6), axis=0)) == len(ov)
+    if len(of_):
+        assert len(np.unique(of_)) == len(ov)
+
+
+def test_owned_winding_and_watertight():
+    vol = sphere_volume(R=33)
+    v, f = marching.extract_mesh_owned(vol, PARAMS)
+    v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    cr = np.cross(v1 - v0, v2 - v0)
+    assert np.einsum("ij,ij->i", v0, cr).sum() / 6 > 0  # outward normals
+    edges = np.sort(np.concatenate([f[:, [0, 1]], f[:, [1, 2]],
+                                    f[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+
+
+def test_owned_group_cap_overflow():
+    vol = np.random.RandomState(0).randn(33, 33, 33).astype(np.float32)
+    with pytest.raises(ValueError):
+        marching.extract_mesh_owned(vol, PARAMS, gcap=128)
+    # extract_mesh_device retries through the pipeline ceiling path
+    from disn_tpu.infer import pipeline
+    v, f = pipeline.volume_to_mesh(vol, PARAMS, max_tris=1 << 21)
+    assert len(v) and len(f)
+
+
+def test_owned_empty_and_full():
+    v, f = marching.extract_mesh_owned(np.ones((9, 9, 9), np.float32),
+                                       PARAMS)
+    assert len(v) == 0 and len(f) == 0
+    v, f = marching.extract_mesh_owned(-np.ones((9, 9, 9), np.float32),
+                                       PARAMS)
+    assert len(v) == 0 and len(f) == 0
+
+
 def test_chunked_matches_while_variant():
     import jax.numpy as jnp
     vol = sphere_volume(R=17)
