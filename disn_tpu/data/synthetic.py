@@ -242,6 +242,74 @@ def demo_trans_mat() -> np.ndarray:
                       [68.0, 68.0, 2.0]]).astype(np.float32)
 
 
+def analytic_octahedron_params(cfg: Config, key=None, r: float = 0.6):
+    """Full TWOSTREAM param tree whose decode computes EXACTLY
+    10*(|x|+|y|+|z| - r) — the L1-ball SDF-like field — independent of the
+    image (all embedding/local contributions zeroed; |t| and max are ReLU
+    chains, so no training is needed).
+
+    Purpose: a trained-model-SHAPED inference workload. Random params give a
+    non-distance-like field, so the sparse coarse cull overflows and falls
+    back to dense — benchmark numbers then measure the wrong path. This
+    fixture makes the production sparse band (and marching tets on a real
+    closed surface) engage exactly as with a converged checkpoint.
+
+    Caveat: the field's Euclidean Lipschitz constant is sqrt(3), slightly
+    above the band test's assumption of 1 — fine for timing work; use
+    band_factor >= 1.8 if mesh exactness matters.
+    """
+    import jax
+    from disn_tpu.models import disn as disn_mod
+
+    if cfg.variant.value != "twostream" or cfg.binary:
+        raise ValueError("analytic params exist for the regress twostream "
+                         "variant only")
+    params = disn_mod.init(cfg, key if key is not None else
+                           jax.random.PRNGKey(0))
+
+    def zeros_like(tree_leaf):
+        return np.zeros(np.asarray(tree_leaf).shape, np.float32)
+
+    g = params["sdfprediction"]
+    w1 = zeros_like(g["fold1"]["conv1"]["weights"])   # [3, 64]
+    for i in range(3):
+        w1[i, 2 * i] = 1.0
+        w1[i, 2 * i + 1] = -1.0                       # relu(+-t) pairs
+    w2 = zeros_like(g["fold1"]["conv2"]["weights"])   # [64, 256]
+    w2[0:6, 0] = 1.0                                  # s = |x|+|y|+|z| >= 0
+    w3 = zeros_like(g["fold1"]["conv3"]["weights"])   # [256, 512]
+    w3[0, 0] = 1.0
+    wc1 = zeros_like(g["fold2"]["conv1"]["weights"])  # [512+1024, 512]
+    wc1[0, 0] = 1.0                                   # point part is first
+    wc2 = zeros_like(g["fold2"]["conv2"]["weights"])  # [512, 256]
+    wc2[0, 0] = 1.0
+    w5 = zeros_like(g["fold2"]["conv5"]["weights"])   # [256, 1]
+    w5[0, 0] = 10.0                                   # undo scale_pred /10
+    b5 = zeros_like(g["fold2"]["conv5"]["biases"])
+    b5[0] = -10.0 * r
+    assign = {
+        ("fold1", "conv1"): w1, ("fold1", "conv2"): w2,
+        ("fold1", "conv3"): w3, ("fold2", "conv1"): wc1,
+        ("fold2", "conv2"): wc2, ("fold2", "conv5"): w5,
+    }
+    import jax.numpy as jnp
+    for (a, b), w in assign.items():
+        g[a][b]["weights"] = jnp.asarray(w)
+        g[a][b]["biases"] = jnp.zeros_like(g[a][b]["biases"])
+    g["fold2"]["conv5"]["biases"] = jnp.asarray(b5)
+    loc = params["sdfprediction_imgfeat"]
+    loc["fold2"]["conv5"]["weights"] = jnp.zeros_like(
+        loc["fold2"]["conv5"]["weights"])
+    loc["fold2"]["conv5"]["biases"] = jnp.zeros_like(
+        loc["fold2"]["conv5"]["biases"])
+    for b_ in ("conv1", "conv2"):
+        loc["fold2"][b_]["biases"] = jnp.zeros_like(loc["fold2"][b_]["biases"])
+        loc["fold1"][b_]["biases"] = jnp.zeros_like(loc["fold1"][b_]["biases"])
+    loc["fold1"]["conv3"]["biases"] = jnp.zeros_like(
+        loc["fold1"]["conv3"]["biases"])
+    return params
+
+
 def tiny_config(**kw) -> Config:
     """Config scaled for the synthetic fixture / CI-sized runs."""
     base = dict(batch_size=2, num_sample_points=256, cat_limit=64,

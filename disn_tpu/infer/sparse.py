@@ -320,8 +320,10 @@ def sparse_dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     fn, cap = make_sparse_dense_sdf_fn(cfg, stride=stride, block=block,
                                        cell_cap_frac=cell_cap_frac,
                                        band_factor=band_factor)
-    vol, count, esc = fn(params, jnp.asarray(img), jnp.asarray(trans_mat),
-                         jnp.asarray(sdf_params))
+    vol, count_d, esc_d = fn(params, jnp.asarray(img), jnp.asarray(trans_mat),
+                             jnp.asarray(sdf_params))
+    # one combined round trip (each scalar fetch costs a full tunnel RTT)
+    count, esc = jax.device_get((count_d, esc_d))
     if int(count) > cap:
         return dense_mod.dense_sdf(params, img, trans_mat, sdf_params, cfg,
                                    block=block, device_out=device_out)

@@ -382,11 +382,12 @@ def extract_mesh_device(volume, sdf_params, iso: float = 0.0,
                         max_tris: int | None = None
                         ) -> tuple[np.ndarray, np.ndarray]:
     """Device-chained extraction (production path): owned-edge pipeline —
-    no sort/weld pass, welded by construction. max_tris (the retry ceiling
-    from the caller) maps to the active-cell group cap."""
-    R = volume.shape[0]
+    no sort/weld pass, welded by construction, packed quantized transfer.
+    max_tris (the retry ceiling from the caller) maps to the active-cell
+    group cap."""
     gcap = None if max_tris is None else max(512, max_tris // 12)
-    return extract_mesh_owned(volume, sdf_params, iso=iso, gcap=gcap)
+    return extract_mesh_owned(volume, sdf_params, iso=iso, gcap=gcap,
+                              packed=True)
 
 
 def extract_mesh_device_sorted(volume, sdf_params, iso: float = 0.0,
@@ -748,18 +749,74 @@ def _pow2b(n: int) -> int:
     return out
 
 
+def _qbucket(n: int) -> int:
+    """Quarter-pow2 bucket (<=14.3% overshoot): fetch sizes recompile only
+    the tiny slice/pack jits, so finer buckets are nearly free and cut the
+    transferred bytes vs plain pow2 (up to 2x overshoot)."""
+    p = _pow2b(max(n, 4)) // 2
+    for m in (5, 6, 7, 8):
+        if n <= p * m // 4:
+            return p * m // 4
+    return 2 * p
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _slice_rows(buf, n: int):
     return jax.lax.slice_in_dim(buf, 0, n)
 
 
+_PACK_F0 = 21  # face-index field widths: f0 21b | f1 21b | f2 22b over 2 u32
+_PACK_F1LO = 11
+
+
+@functools.partial(jax.jit, static_argnames=("nv_b", "nt_b"))
+def _pack_mesh(verts, faces, sdf_params, nv_b: int, nt_b: int):
+    """One-transfer mesh encoding for the ~28 MB/s tunnel: vertices as
+    bbox-normalized u16 fixed point (error <= span/131070 ~ 1.5e-5, far
+    below the 1/(R-1) cell size), faces as 21/21/22-bit fields in 2 u32.
+    Everything concatenates into a single u32 buffer (a device->host fetch
+    costs ~25 ms latency alone)."""
+    lo = sdf_params[0:3]
+    hi = sdf_params[3:6]
+    v = jax.lax.slice_in_dim(verts, 0, nv_b)
+    q = jnp.clip((v - lo) / (hi - lo) * 65535.0 + 0.5,
+                 0.0, 65535.0).astype(jnp.uint16).reshape(-1)
+    if q.shape[0] % 2:
+        q = jnp.concatenate([q, jnp.zeros((1,), jnp.uint16)])
+    qw = jax.lax.bitcast_convert_type(q.reshape(-1, 2), jnp.uint32)
+    f = jax.lax.slice_in_dim(faces, 0, nt_b).astype(jnp.uint32)
+    w0 = f[:, 0] | ((f[:, 1] & ((1 << _PACK_F1LO) - 1)) << _PACK_F0)
+    w1 = (f[:, 1] >> _PACK_F1LO) | (f[:, 2] << (21 - _PACK_F1LO))
+    return jnp.concatenate([qw, jnp.stack([w0, w1], -1).reshape(-1)])
+
+
+def _unpack_mesh(buf: np.ndarray, sdf_params, nv_b: int, nt_b: int, nv: int,
+                 ntri: int) -> tuple[np.ndarray, np.ndarray]:
+    nq = (nv_b * 3 + 1) // 2
+    q = buf[:nq].view(np.uint16)[:nv * 3].reshape(nv, 3).astype(np.float32)
+    lo = np.asarray(sdf_params[0:3], np.float32)
+    hi = np.asarray(sdf_params[3:6], np.float32)
+    verts = lo + q / np.float32(65535.0) * (hi - lo)
+    w = buf[nq:].reshape(nt_b, 2)[:ntri]
+    f0 = w[:, 0] & ((1 << _PACK_F0) - 1)
+    f1 = (w[:, 0] >> _PACK_F0) | ((w[:, 1] & ((1 << (_PACK_F0 - _PACK_F1LO))
+                                              - 1)) << _PACK_F1LO)
+    f2 = w[:, 1] >> (_PACK_F0 - _PACK_F1LO)
+    return verts, np.stack([f0, f1, f2], -1).astype(np.int32)
+
+
 def extract_mesh_owned(volume, sdf_params, iso: float = 0.0,
-                       gcap: int | None = None, batch: int = 8192
+                       gcap: int | None = None, batch: int = 8192,
+                       packed: bool = False
                        ) -> tuple[np.ndarray, np.ndarray]:
     """Owned-edge device extraction: volume -> welded (verts, faces) with
     no sort/weld pass and pow2-bucketed fetches (a fresh-shape device fetch
     costs ~550 ms in compiles on tunneled hosts). Raises ValueError when the
-    group cap overflows (caller retries with a larger cap)."""
+    group cap overflows (caller retries with a larger cap).
+
+    packed=True transfers the mesh as one quantized u32 buffer (see
+    _pack_mesh): ~40% of the bytes, vertex error <= 1.5e-5 of the bbox
+    span. Falls back to exact f32 when nv exceeds the 21-bit field."""
     R = volume.shape[0]
     E = R
     if gcap is None:
@@ -778,8 +835,12 @@ def extract_mesh_owned(volume, sdf_params, iso: float = 0.0,
         vol, jnp.asarray(sdf_params, jnp.float32), ids, n_cells_d,
         iso=float(iso), n_iter=n_iter, batch=batch)
     nv, ntri = (int(x) for x in jax.device_get((nv_d, ntri_d)))
-    vb = min(_pow2b(max(nv, 1)), verts_d.shape[0])
-    tb = min(_pow2b(max(ntri, 1)), faces_d.shape[0])
+    vb = min(_qbucket(max(nv, 1)), verts_d.shape[0])
+    tb = min(_qbucket(max(ntri, 1)), faces_d.shape[0])
+    if packed and nv < (1 << _PACK_F0):
+        sp = jnp.asarray(sdf_params, jnp.float32)
+        buf = np.asarray(_pack_mesh(verts_d, faces_d, sp, vb, tb))
+        return _unpack_mesh(buf, sdf_params, vb, tb, nv, ntri)
     verts = np.asarray(_slice_rows(verts_d, vb))[:nv]
     faces = np.asarray(_slice_rows(faces_d, tb))[:ntri]
     return verts, faces

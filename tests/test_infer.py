@@ -242,3 +242,30 @@ def test_sparse_sharded_matches_single(setup):
                     jnp.asarray(SDF_PARAMS))
     assert int(count) <= cap
     np.testing.assert_allclose(np.asarray(vol), single, rtol=1e-4, atol=1e-5)
+
+
+def test_analytic_octahedron_params():
+    """The hand-crafted param tree decodes exactly |x|+|y|+|z| - r through
+    the full production graph (bench.py's workload), and the sparse path
+    engages (distance-like field: no cap overflow, no dense fallback)."""
+    import numpy as np
+    from disn_tpu.data import synthetic
+    from disn_tpu.infer import pipeline, sparse as sparse_mod
+
+    cfg = synthetic.tiny_config(sdf_res=32, num_classes=32, width_mult=0.125,
+                                compute_dtype="float32")
+    params = synthetic.analytic_octahedron_params(cfg, r=0.6)
+    img = np.random.RandomState(0).rand(1, 137, 137, 3).astype(np.float32)
+    trans = synthetic.demo_trans_mat()
+    sdfp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    vol = np.asarray(pipeline.predict_volume(params, img, trans, sdfp, cfg,
+                                             sparse=False))
+    lin = np.linspace(-1, 1, 33, dtype=np.float32)
+    Z, Y, X = np.meshgrid(lin, lin, lin, indexing="ij")
+    ref = np.abs(X) + np.abs(Y) + np.abs(Z) - 0.6
+    assert np.abs(vol - ref).max() < 1e-5
+    fn, cap = sparse_mod.make_sparse_dense_sdf_fn(cfg)
+    import jax.numpy as jnp
+    _, count, esc = fn(params, jnp.asarray(img), jnp.asarray(trans),
+                       jnp.asarray(sdfp))
+    assert int(count) <= cap and int(esc) == 0

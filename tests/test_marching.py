@@ -103,13 +103,15 @@ def test_device_weld_matches_host():
     assert len(dev_v) == len(host_v)
     assert len(dev_f) == len(host_f)
     # same welded topology up to vertex relabeling: compare sorted vertex
-    # sets and per-face vertex-position triples
+    # sets and per-face vertex-position triples. The production path
+    # transfers u16 fixed-point vertices: tolerance is the quantizer step.
+    step = 2.0 / 65535
     np.testing.assert_allclose(np.sort(dev_v, axis=0),
-                               np.sort(host_v, axis=0), atol=1e-6)
+                               np.sort(host_v, axis=0), atol=step)
     tri_h = np.sort(host_v[host_f].reshape(len(host_f), -1), axis=1)
     tri_d = np.sort(dev_v[dev_f].reshape(len(dev_f), -1), axis=1)
     np.testing.assert_allclose(np.sort(tri_h, axis=0),
-                               np.sort(tri_d, axis=0), atol=1e-6)
+                               np.sort(tri_d, axis=0), atol=step)
 
 
 def test_device_weld_empty():
@@ -177,6 +179,23 @@ def test_owned_group_cap_overflow():
     from disn_tpu.infer import pipeline
     v, f = pipeline.volume_to_mesh(vol, PARAMS, max_tris=1 << 21)
     assert len(v) and len(f)
+
+
+def test_owned_packed_transfer():
+    """Quantized one-buffer transfer: identical faces, vertices within the
+    u16 fixed-point step of the exact f32 fetch."""
+    vol = sphere_volume(R=33)
+    ev, ef = marching.extract_mesh_owned(vol, PARAMS)
+    pv, pf = marching.extract_mesh_owned(vol, PARAMS, packed=True)
+    np.testing.assert_array_equal(pf, ef)
+    step = 2.0 / 65535
+    assert np.abs(pv - ev).max() <= step
+    # face fields exceed no packing width on an asymmetric bbox either
+    prm = np.array([-0.3, -1, -2, 0.9, 1, 2], np.float32)
+    ev, ef = marching.extract_mesh_owned(vol, prm)
+    pv, pf = marching.extract_mesh_owned(vol, prm, packed=True)
+    np.testing.assert_array_equal(pf, ef)
+    assert np.abs(pv - ev).max() <= 4.0 / 65535
 
 
 def test_owned_empty_and_full():
