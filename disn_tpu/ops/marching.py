@@ -390,6 +390,49 @@ def extract_mesh_device(volume, sdf_params, iso: float = 0.0,
                               packed=True)
 
 
+def extract_mesh_deferred(volume, sdf_params, iso: float = 0.0,
+                          max_tris: int | None = None, batch: int = 8192):
+    """Eval-farm split of extract_mesh_device: ALL device work (scan, both
+    passes, size syncs, on-device packing) happens in this call on the
+    caller's thread; the returned zero-argument closure only transfers the
+    packed buffer and unpacks on the host, so a writer pool can overlap
+    transfer+IO with the next image's device compute without contending for
+    the chip. Raises ValueError on group-cap overflow like the direct path."""
+    R = volume.shape[0]
+    E = R
+    gcap = max(512, max_tris // 12) if max_tris is not None \
+        else max(512, (E * E) // 4)
+    gcap = min(-(-gcap // 128) * 128, -(-((E + 3) // 4) ** 3 // 128) * 128)
+    vol = jnp.asarray(volume, jnp.float32)
+    ids, n_cells_d, g_over = _active_cells_ext(vol, float(iso), gcap)
+    n_cells, gov = (int(x) for x in jax.device_get((n_cells_d, g_over)))
+    if gov > 0:
+        raise ValueError(f"active-cell group overflow: cap {gcap}")
+    if n_cells == 0:
+        return lambda: (np.zeros((0, 3), np.float32),
+                        np.zeros((0, 3), np.int32))
+    n_iter = min(_pow2b(-(-n_cells // batch)), -(-gcap * 64 // batch))
+    sp = jnp.asarray(sdf_params, jnp.float32)
+    verts_d, nv_d, faces_d, ntri_d = _extract_owned(
+        vol, sp, ids, n_cells_d, iso=float(iso), n_iter=n_iter, batch=batch)
+    nv, ntri = (int(x) for x in jax.device_get((nv_d, ntri_d)))
+    vb = min(_qbucket(max(nv, 1)), verts_d.shape[0])
+    tb = min(_qbucket(max(ntri, 1)), faces_d.shape[0])
+    if nv < (1 << _PACK_F0):
+        buf_d = _pack_mesh(verts_d, faces_d, sp, vb, tb)
+        sdf_np = np.asarray(sdf_params)
+
+        def fetch():
+            return _unpack_mesh(np.asarray(buf_d), sdf_np, vb, tb, nv, ntri)
+    else:
+        vd = _slice_rows(verts_d, vb)
+        fd = _slice_rows(faces_d, tb)
+
+        def fetch():
+            return np.asarray(vd)[:nv], np.asarray(fd)[:ntri]
+    return fetch
+
+
 def extract_mesh_device_sorted(volume, sdf_params, iso: float = 0.0,
                                max_tris: int | None = None
                                ) -> tuple[np.ndarray, np.ndarray]:

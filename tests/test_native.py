@@ -127,3 +127,33 @@ def test_obj_relative_and_invalid_indices(tmp_path):
     # check a strictly interior point just above it
     assert df.values[9, 8, 8] < 0        # inside the upper tetra
     assert df.values[0, 0, 0] > 0
+
+
+def test_format_obj_matches_python_writer(tmp_path):
+    """The C OBJ formatter produces the same mesh (parsed back) as the
+    pure-python writer, including negatives, tiny and large magnitudes."""
+    import numpy as np
+    from disn_tpu import native
+    from disn_tpu.core import codecs
+
+    rng = np.random.RandomState(0)
+    verts = np.concatenate([
+        rng.randn(500, 3).astype(np.float32) * 3.0,
+        np.array([[0, -0, 1e-7], [-1.9999995, 123.4567, -0.0000005]],
+                 np.float32),
+    ])
+    faces = rng.randint(0, len(verts), size=(300, 3)).astype(np.int32)
+    data = native.format_obj(verts, faces)
+    p_native = tmp_path / "n.obj"
+    p_native.write_bytes(data)
+    v2, f2 = codecs.read_obj(str(p_native))
+    np.testing.assert_allclose(v2, verts, atol=1e-6)
+    np.testing.assert_array_equal(f2, faces)
+    # write_obj routes big meshes through the native path transparently
+    big_v = rng.randn(5000, 3).astype(np.float32)
+    big_f = rng.randint(0, 5000, size=(9000, 3)).astype(np.int32)
+    p_big = tmp_path / "big.obj"
+    codecs.write_obj(str(p_big), big_v, big_f)
+    v3, f3 = codecs.read_obj(str(p_big))
+    np.testing.assert_allclose(v3, big_v, atol=1e-6)
+    np.testing.assert_array_equal(f3, big_f)
