@@ -25,7 +25,20 @@ class Variant(enum.Enum):
 
 
 class EncoderKind(enum.Enum):
+    """Image encoder (reference ships AlexNet/ResNet as unused alternates,
+    models/CNN/alexnet.py, models/CNN/resnet.py; every driver uses VGG-16)."""
     VGG16 = "vgg16"
+    ALEXNET = "alexnet"
+    RESNET = "resnet"
+
+
+# Per-encoder endpoint channel widths, in the order local features are
+# concatenated (VGG: model_normalization.py:171-190).
+ENCODER_CHANNELS: dict[EncoderKind, tuple[int, ...]] = {
+    EncoderKind.VGG16: (64, 128, 256, 512, 512),
+    EncoderKind.ALEXNET: (96, 256, 384, 384, 256),
+    EncoderKind.RESNET: (64, 128, 256, 512),
+}
 
 
 # ShapeNet 13-category registry (reference: preprocessing/info.json:1-45).
@@ -114,6 +127,11 @@ class Config:
     fused_kernel: str = "auto"       # Pallas fused sample+MLP decode kernel
     # ("auto" | "on" | "off"); serves twostream+tf1 inference, exact vs the
     # XLA path (escaped cells are rescued in-jit — see infer/fused.py)
+    sparse_stride: int = 4           # fine cells per coarse cell per axis
+    band_factor: float = 1.5         # cull margin x coarse cell diagonal
+    # (sound for Lipschitz-1 SDFs at >=1.0; raise for fields with steeper
+    # gradients, e.g. sqrt(3) for L1-ball-like nets)
+    cell_cap_frac: float = 0.25      # active-cell cap / total coarse cells
 
     # ---- inference ---------------------------------------------------------
     iso: float = 0.0               # marching-cubes iso surface at inference
@@ -129,15 +147,16 @@ class Config:
 
     @property
     def local_feat_dim(self) -> int:
-        """Per-point local feature width sampled from VGG endpoint maps.
+        """Per-point local feature width sampled from encoder endpoint maps.
 
-        twostream: conv1_2..conv5_3 -> 64+128+256+512+512 = 1472
-        onestream: conv1_2..conv3_3 -> 64+128+256 = 448
-        (reference: model_normalization.py:171-190, 153-168)
+        VGG twostream: conv1_2..conv5_3 -> 64+128+256+512+512 = 1472
+        VGG onestream: conv1_2..conv3_3 -> 64+128+256 = 448
+        (reference: model_normalization.py:171-190, 153-168); alternate
+        encoders use their own endpoint widths (ENCODER_CHANNELS).
         """
         from disn_tpu.models.vgg import scaled_width
         chans = [scaled_width(c, self.width_mult)
-                 for c in (64, 128, 256, 512, 512)]
+                 for c in ENCODER_CHANNELS[self.encoder]]
         if self.variant is Variant.TWOSTREAM:
             return sum(chans)
         if self.variant is Variant.ONESTREAM:

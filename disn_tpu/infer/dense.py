@@ -92,8 +92,7 @@ def _decode_block(params: Params, endpoints: dict[str, jnp.ndarray],
     if cfg.variant in (Variant.TWOSTREAM, Variant.ONESTREAM):
         px = camera.project_points(pts_b, trans_mat[None],
                                    img_w=cfg.img_w, img_h=cfg.img_h)
-        names = (vgg.ENDPOINTS if cfg.variant is Variant.TWOSTREAM
-                 else vgg.ENDPOINTS[:3])
+        names = disn.endpoint_names(cfg)
         sample = (image_ops.sample_native if cfg.sampling == "native"
                   else image_ops.resize_then_sample)
         if folded == "137" and cfg.variant is Variant.TWOSTREAM:
@@ -166,8 +165,7 @@ def _prep(params: Params, img: jnp.ndarray, cfg: Config,
     precomputed here."""
     embedding, endpoints = disn.encode(params, img, cfg)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    keep = (vgg.ENDPOINTS if cfg.variant is Variant.TWOSTREAM
-            else vgg.ENDPOINTS[:3])
+    keep = disn.endpoint_names(cfg)
     if fold_local in ("local", "137") and cfg.variant is Variant.TWOSTREAM:
         _, w_local = sdfnet.split_local_fold2(params["sdfprediction_imgfeat"])
         w_local = w_local.astype(cd)

@@ -35,8 +35,8 @@ def fused_point_features(endpoints: dict[str, jnp.ndarray],
     """Per-point local features averaged over views: [N, local_dim].
 
     pts [N,3]; trans_mats [V,4,3]; endpoints carry a leading view axis."""
-    names = (vgg.ENDPOINTS if cfg.variant is Variant.TWOSTREAM
-             else vgg.ENDPOINTS[:3])
+    from disn_tpu.models import disn as _disn
+    names = _disn.endpoint_names(cfg)
 
     def one_view(view_endpoints, trans_mat):
         px = camera.project_points(pts[None], trans_mat[None],

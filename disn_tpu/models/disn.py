@@ -13,7 +13,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from disn_tpu.config import Config, Variant
+from disn_tpu.config import Config, EncoderKind, Variant
 from disn_tpu.core import camera
 from disn_tpu.models import sdfnet, vgg
 from disn_tpu.models import layers
@@ -22,13 +22,37 @@ from disn_tpu.ops import image as image_ops
 Params = dict[str, Any]
 
 
+ENCODER_SCOPE = {EncoderKind.VGG16: "vgg_16",
+                 EncoderKind.ALEXNET: "alexnet",
+                 EncoderKind.RESNET: "resnet_v1"}  # TF-scope-mirrored names
+
+_ALEX_ENDPOINTS = ("conv1", "conv2", "conv3", "conv4", "conv5")
+_RESNET_ENDPOINTS = ("stage1", "stage2", "stage3", "stage4")
+
+
+def endpoint_names(cfg: Config) -> tuple[str, ...]:
+    """Encoder endpoint maps used for local features, concatenation order
+    (VGG: model_normalization.py:171-190; onestream keeps the first 3)."""
+    names = {EncoderKind.VGG16: vgg.ENDPOINTS,
+             EncoderKind.ALEXNET: _ALEX_ENDPOINTS,
+             EncoderKind.RESNET: _RESNET_ENDPOINTS}[cfg.encoder]
+    return names if cfg.variant is Variant.TWOSTREAM else names[:3]
+
+
+def init_encoder(cfg: Config, key: jax.Array):
+    from disn_tpu.models import encoders
+    kw = dict(in_channels=cfg.img_channels, num_classes=cfg.num_classes,
+              width_mult=cfg.width_mult)
+    if cfg.encoder is EncoderKind.ALEXNET:
+        return encoders.init_alexnet(key, **kw)
+    if cfg.encoder is EncoderKind.RESNET:
+        return encoders.init_resnet(key, **kw)
+    return vgg.init(key, **kw)
+
+
 def init(cfg: Config, key: jax.Array) -> Params:
     k_vgg, k_a, k_b = jax.random.split(key, 3)
-    params: Params = {
-        "vgg_16": vgg.init(k_vgg, in_channels=cfg.img_channels,
-                           num_classes=cfg.num_classes,
-                           width_mult=cfg.width_mult)
-    }
+    params: Params = {ENCODER_SCOPE[cfg.encoder]: init_encoder(cfg, k_vgg)}
     if cfg.variant is Variant.TWOSTREAM:
         params["sdfprediction"] = sdfnet.init_global_head(
             k_a, cfg.num_classes, cfg.binary)
@@ -64,10 +88,18 @@ def preprocess_image(img: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 
 def encode(params: Params, img: jnp.ndarray, cfg: Config
            ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    """Image [B,137,137,C] -> (global embedding [B,1024], VGG endpoints)."""
+    """Image [B,137,137,C] -> (global embedding [B,1024], endpoints)."""
     resized = preprocess_image(img, cfg)
-    return vgg.apply(params["vgg_16"], resized,
-                     compute_dtype=_compute_dtype(cfg))
+    cd = _compute_dtype(cfg)
+    if cfg.encoder is EncoderKind.ALEXNET:
+        from disn_tpu.models import encoders
+        return encoders.apply_alexnet(params["alexnet"], resized,
+                                      compute_dtype=cd)
+    if cfg.encoder is EncoderKind.RESNET:
+        from disn_tpu.models import encoders
+        return encoders.apply_resnet(params["resnet_v1"], resized,
+                                     compute_dtype=cd)
+    return vgg.apply(params["vgg_16"], resized, compute_dtype=cd)
 
 
 def sample_local_features(endpoints: dict[str, jnp.ndarray],
@@ -81,7 +113,7 @@ def sample_local_features(endpoints: dict[str, jnp.ndarray],
     the resized maps (ops/image.resize_then_sample); both paths are
     numerically pinned to each other in tests.
     """
-    names = vgg.ENDPOINTS if cfg.variant is Variant.TWOSTREAM else vgg.ENDPOINTS[:3]
+    names = endpoint_names(cfg)
     feats = []
     for name in names:
         fmap = endpoints[name]

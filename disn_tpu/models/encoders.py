@@ -62,6 +62,46 @@ def apply_alexnet(params: dict, img: jnp.ndarray,
     return x, endpoints
 
 
+# Grouped conv layers in the BVLC reference weights (groups=2); the
+# reference applies them as split convs (models/CNN/alexnet.py conv()
+# groups branch) — here they fold into ONE dense conv with block-diagonal
+# weights, which is numerically identical and MXU-friendly.
+_ALEX_GROUPS = {"conv2": 2, "conv4": 2, "conv5": 2}
+
+
+def load_alexnet_npy(path: str, params: dict) -> dict:
+    """Load BVLC-style `bvlc_alexnet.npy` weights into an init_alexnet tree
+    (reference `AlexNet.load_initial_weights`, models/CNN/alexnet.py:60-96:
+    a pickled dict {layer: [weights, biases]}).
+
+    Grouped conv weights [k,k,cin/g,cout] expand to block-diagonal dense
+    weights. Layers whose shapes don't match the tree (e.g. fc8 at 1000
+    ImageNet classes vs num_classes, or width_mult'd trees) are skipped —
+    the same partial-restore semantics as train/checkpoint.py."""
+    import numpy as np  # noqa: F811
+
+    data = np.load(path, allow_pickle=True, encoding="latin1").item()
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    for name, wb in data.items():
+        if name not in out:
+            continue
+        w, b = np.asarray(wb[0], np.float32), np.asarray(wb[1], np.float32)
+        g = _ALEX_GROUPS.get(name, 1)
+        if w.ndim == 4 and g > 1:
+            k1, k2, cpg, cout = w.shape
+            opg = cout // g
+            full = np.zeros((k1, k2, cpg * g, cout), np.float32)
+            for i in range(g):
+                full[:, :, i * cpg:(i + 1) * cpg, i * opg:(i + 1) * opg] = \
+                    w[..., i * opg:(i + 1) * opg]
+            w = full
+        tgt = out[name]
+        if tuple(tgt["weights"].shape) == w.shape \
+                and tuple(tgt["biases"].shape) == b.shape:
+            out[name] = {"weights": jnp.asarray(w), "biases": jnp.asarray(b)}
+    return out
+
+
 # --------------------------------------------------------------------------
 # ResNet-v1 basic-block (18-layer scale; slim resnet_v1 analog)
 # --------------------------------------------------------------------------

@@ -68,3 +68,84 @@ def test_resnet_forward():
     assert emb.shape == (2, 16)
     assert np.isfinite(np.asarray(emb)).all()
     assert len(eps) == 4
+
+
+def test_encoder_selection_forward():
+    """EncoderKind.ALEXNET / RESNET are config-selectable through disn.init
+    and drive the full twostream forward (local features concat from their
+    own endpoint stacks; reference ships them unused,
+    models/CNN/alexnet.py:25-211, models/CNN/resnet.py:1-46)."""
+    import jax
+    import numpy as np
+    from disn_tpu.config import Config, EncoderKind
+    from disn_tpu.models import disn
+
+    for kind in (EncoderKind.ALEXNET, EncoderKind.RESNET):
+        cfg = Config(encoder=kind, num_classes=32, width_mult=0.125,
+                     num_sample_points=16, batch_size=1)
+        params = disn.init(cfg, jax.random.PRNGKey(0))
+        assert disn.ENCODER_SCOPE[kind] in params
+        batch = {
+            "img": np.random.RandomState(0).rand(1, 137, 137, 3)
+            .astype(np.float32),
+            "sample_pc": np.zeros((1, 16, 3), np.float32),
+            "trans_mat": np.vstack([np.eye(3) * 60, [68, 68, 2]])
+            .astype(np.float32)[None],
+        }
+        eps = disn.apply(params, batch, cfg)
+        assert eps["pred_sdf"].shape == (1, 16, 1)
+        assert eps["point_img_feat"].shape[-1] == cfg.local_feat_dim
+        assert np.isfinite(np.asarray(eps["pred_sdf"])).all()
+
+
+def test_alexnet_npy_loader(tmp_path):
+    """BVLC npy layout (dict of [W, b], grouped convs) loads into the tree
+    with block-diagonal expansion; mismatched layers (fc8/ImageNet) skip."""
+    import jax
+    import numpy as np
+    from disn_tpu.models import encoders
+
+    cfg_width = 0.125
+    params = encoders.init_alexnet(jax.random.PRNGKey(0), num_classes=32,
+                                   width_mult=cfg_width)
+    rng = np.random.RandomState(0)
+    data = {}
+    for name in ("conv1", "conv2", "conv3", "conv4", "conv5"):
+        w = np.asarray(params[name]["weights"])
+        g = encoders._ALEX_GROUPS.get(name, 1)
+        k, _, cin, cout = w.shape
+        wg = rng.randn(k, k, cin // g, cout).astype(np.float32)
+        data[name] = [wg, rng.randn(cout).astype(np.float32)]
+    data["fc8"] = [rng.randn(5, 1000).astype(np.float32),
+                   rng.randn(1000).astype(np.float32)]  # mismatched: skipped
+    p = tmp_path / "bvlc_tiny.npy"
+    np.save(p, np.asarray(data, dtype=object), allow_pickle=True)
+
+    loaded = encoders.load_alexnet_npy(str(p), params)
+    w2 = np.asarray(loaded["conv2"]["weights"])
+    k, _, cin, cout = w2.shape
+    cpg, opg = cin // 2, cout // 2
+    # block-diagonal: group blocks match the npy, off-diagonal zero
+    np.testing.assert_array_equal(w2[:, :, :cpg, :opg],
+                                  data["conv2"][0][..., :opg])
+    np.testing.assert_array_equal(w2[:, :, cpg:, opg:],
+                                  data["conv2"][0][..., opg:])
+    assert (w2[:, :, :cpg, opg:] == 0).all()
+    assert (w2[:, :, cpg:, :opg] == 0).all()
+    # block-diag dense conv == per-group conv (the reference's split apply)
+    import jax.numpy as jnp
+    x = rng.randn(1, 9, 9, cin).astype(np.float32)
+    dense = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w2), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    parts = [jax.lax.conv_general_dilated(
+        jnp.asarray(x[..., i * cpg:(i + 1) * cpg]),
+        jnp.asarray(data["conv2"][0][..., i * opg:(i + 1) * opg]), (1, 1),
+        "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        for i in range(2)]
+    np.testing.assert_allclose(np.asarray(dense),
+                               np.asarray(jnp.concatenate(parts, -1)),
+                               rtol=1e-5, atol=1e-4)
+    # fc8 mismatched -> untouched
+    np.testing.assert_array_equal(np.asarray(loaded["fc8"]["weights"]),
+                                  np.asarray(params["fc8"]["weights"]))
