@@ -371,11 +371,19 @@ def cmd_demo(args) -> None:
             "RGBA" if cfg.alpha else "RGB"), np.float32) / 255.0
         img = arr
         trans = None
+    if args.trans_mat:
+        # GT-camera path for a plain PNG: a 4x3 text matrix, like the
+        # reference's hard-coded demo camera (demo/demo.py:272-276; the
+        # bundled demo/chair_trans_mat.txt carries those exact values
+        # for demo/chair.png)
+        trans = np.loadtxt(args.trans_mat, dtype=np.float32,
+                           comments="#").reshape(4, 3)
     if args.cam_est or trans is None:
         if not args.cam_restore:
             raise SystemExit(
-                "a plain image carries no camera: pass --cam-restore "
-                "<posenet ckpt> (or use a view .h5 with a trans_mat)")
+                "a plain image carries no camera: pass --trans-mat "
+                "<4x3 txt> or --cam-restore <posenet ckpt> (or use a "
+                "view .h5 with a trans_mat)")
         import jax
         import jax.numpy as jnp
         from disn_tpu.models import posenet
@@ -572,6 +580,9 @@ def build_parser() -> argparse.ArgumentParser:
     common_args(p)
     p.add_argument("--image", required=True, help="png or view h5")
     p.add_argument("--restore", required=True)
+    p.add_argument("--trans-mat", default=None,
+                   help="4x3 world->pixel matrix txt for a plain png "
+                        "(e.g. demo/chair_trans_mat.txt)")
     p.add_argument("--cam-est", action="store_true")
     p.add_argument("--cam-restore", default=None)
     p.add_argument("--dense", action="store_true")

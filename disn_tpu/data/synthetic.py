@@ -246,7 +246,8 @@ def analytic_octahedron_params(cfg: Config, key=None, r: float = 0.6):
     """Full TWOSTREAM param tree whose decode computes EXACTLY
     10*(|x|+|y|+|z| - r) — the L1-ball SDF-like field — independent of the
     image (all embedding/local contributions zeroed; |t| and max are ReLU
-    chains, so no training is needed).
+    chains, so no training is needed). With cfg.binary the head emits
+    logits (0, 10(s-r)) so sign(softmax1 - 0.5) matches the same surface.
 
     Purpose: a trained-model-SHAPED inference workload. Random params give a
     non-distance-like field, so the sparse coarse cull overflows and falls
@@ -261,9 +262,9 @@ def analytic_octahedron_params(cfg: Config, key=None, r: float = 0.6):
     import jax
     from disn_tpu.models import disn as disn_mod
 
-    if cfg.variant.value != "twostream" or cfg.binary:
-        raise ValueError("analytic params exist for the regress twostream "
-                         "variant only")
+    if cfg.variant.value != "twostream":
+        raise ValueError("analytic params exist for the twostream variant "
+                         "only")
     params = disn_mod.init(cfg, key if key is not None else
                            jax.random.PRNGKey(0))
 
@@ -283,25 +284,32 @@ def analytic_octahedron_params(cfg: Config, key=None, r: float = 0.6):
     wc1[0, 0] = 1.0                                   # point part is first
     wc2 = zeros_like(g["fold2"]["conv2"]["weights"])  # [512, 256]
     wc2[0, 0] = 1.0
-    w5 = zeros_like(g["fold2"]["conv5"]["weights"])   # [256, 1]
-    w5[0, 0] = 10.0                                   # undo scale_pred /10
-    b5 = zeros_like(g["fold2"]["conv5"]["biases"])
-    b5[0] = -10.0 * r
+    last = "conv5_bi" if cfg.binary else "conv5"
+    w5 = zeros_like(g["fold2"][last]["weights"])      # [256, 1|2]
+    b5 = zeros_like(g["fold2"][last]["biases"])
+    if cfg.binary:
+        # logits (0, 10(s-r)): sign(softmax1 - 0.5) == sign(s - r)
+        w5[0, 1] = 10.0
+        b5[1] = -10.0 * r
+    else:
+        w5[0, 0] = 10.0                               # undo scale_pred /10
+        b5[0] = -10.0 * r
     assign = {
         ("fold1", "conv1"): w1, ("fold1", "conv2"): w2,
         ("fold1", "conv3"): w3, ("fold2", "conv1"): wc1,
-        ("fold2", "conv2"): wc2, ("fold2", "conv5"): w5,
+        ("fold2", "conv2"): wc2, ("fold2", last): w5,
     }
     import jax.numpy as jnp
     for (a, b), w in assign.items():
         g[a][b]["weights"] = jnp.asarray(w)
         g[a][b]["biases"] = jnp.zeros_like(g[a][b]["biases"])
-    g["fold2"]["conv5"]["biases"] = jnp.asarray(b5)
+    g["fold2"][last]["biases"] = jnp.asarray(b5)
     loc = params["sdfprediction_imgfeat"]
-    loc["fold2"]["conv5"]["weights"] = jnp.zeros_like(
-        loc["fold2"]["conv5"]["weights"])
-    loc["fold2"]["conv5"]["biases"] = jnp.zeros_like(
-        loc["fold2"]["conv5"]["biases"])
+    loc_last = "conv5_bi" if cfg.binary else "conv5"
+    loc["fold2"][loc_last]["weights"] = jnp.zeros_like(
+        loc["fold2"][loc_last]["weights"])
+    loc["fold2"][loc_last]["biases"] = jnp.zeros_like(
+        loc["fold2"][loc_last]["biases"])
     for b_ in ("conv1", "conv2"):
         loc["fold2"][b_]["biases"] = jnp.zeros_like(loc["fold2"][b_]["biases"])
         loc["fold1"][b_]["biases"] = jnp.zeros_like(loc["fold1"][b_]["biases"])

@@ -50,17 +50,18 @@ def predict_volume(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         vals = np.asarray(fwd(params, jnp.asarray(img)))[0]
         r = round(len(vals) ** (1 / 3))
         return vals.reshape(r, r, r)
-    # binary-head outputs are (softmax-0.5)/10, bounded to ±0.05: the
-    # Lipschitz band test saturates and sparse would always overflow to the
-    # dense fallback anyway — route directly and skip the wasted coarse pass
-    if sparse and cfg.sdf_res % 4 == 0 and not cfg.binary:
+    # binary heads route through the sign-change-dilation cull
+    # (sparse._active_cells mode='sign'); regress heads through the sound
+    # Lipschitz band test
+    if sparse and cfg.sdf_res % cfg.sparse_stride == 0:
         # dynamic two-phase: with the fused kernel the fine pass is cheap
         # enough that sizing it from the synced count beats the full-cap
         # single jit even over the tunnel (167 vs 209 ms at 257^3 on the
         # analytic-octahedron workload)
-        return sparse_mod.sparse_dense_sdf(params, img, trans_mat, sdf_params,
-                                           cfg, block=block, device_out=True,
-                                           dynamic=True)
+        return sparse_mod.sparse_dense_sdf(
+            params, img, trans_mat, sdf_params, cfg, block=block,
+            stride=cfg.sparse_stride, band_factor=cfg.band_factor,
+            cell_cap_frac=cfg.cell_cap_frac, device_out=True, dynamic=True)
     return dense_mod.dense_sdf(params, img, trans_mat, sdf_params, cfg,
                                block=block, mesh=mesh, device_out=True)
 
@@ -147,11 +148,12 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
 
     Eval-farm pipelining (the reference runs 79 sequential sess.runs per
     image, single process): a reader thread prefetches h5 records ahead of
-    the device, the main thread keeps the chip busy with image N+1's volume
-    while a writer pool extracts + welds + writes image N's mesh, and the
-    object list stripes over (shard_index, shard_count) so independent
-    hosts/chips each own a disjoint slice (README.md:104-110's manual
-    per-GPU scale-out, made a parameter)."""
+    the device, the main thread owns ALL device work (prediction,
+    extraction, mesh transfer — strictly sequential, see the in-loop
+    comment), a writer pool overlaps file writes, and the object list
+    stripes over (shard_index, shard_count) so independent hosts/chips each
+    own a disjoint slice (README.md:104-110's manual per-GPU scale-out,
+    made a parameter)."""
     from queue import Queue
     from threading import Thread
 

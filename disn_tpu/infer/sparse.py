@@ -16,9 +16,10 @@ overflow is detected via the returned count and the wrapper falls back to the
 exact dense path, so results are ALWAYS correct.
 
 NOTE: the culling argument requires distance-like values; the BINARY variant
-emits (softmax-0.5)/10 in ±0.05, which saturates the band test — every cell
-stays active and the wrapper falls back to dense. infer/pipeline routes
-binary straight to the dense path.
+emits (softmax-0.5)/10 in ±0.05, which saturates the band test. Binary
+therefore culls on coarse corner SIGN CHANGES dilated by one cell
+(_active_cells mode='sign') — heuristic but equivalent in practice, and the
+reference has no sparse binary path at all (test/create_sdf.py:279-285).
 """
 from __future__ import annotations
 
@@ -62,11 +63,21 @@ def _upsample_aligned(vol_c: jnp.ndarray, stride: int) -> jnp.ndarray:
     return lerp(lerp(lerp(vol_c, 0), 1), 2)
 
 
-def _active_cells(vol_c: jnp.ndarray, tau: jnp.ndarray, max_cells: int
-                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _active_cells(vol_c: jnp.ndarray, tau: jnp.ndarray, max_cells: int,
+                  mode: str = "band") -> tuple[jnp.ndarray, jnp.ndarray]:
     """Compact the ids of coarse cells that may contain the iso-surface.
 
-    Active := any corner |v| < tau OR corner signs disagree.
+    mode='band' (regress variants): active := any corner |v| < tau OR
+    corner signs disagree — SOUND for Lipschitz-1 distance-like fields.
+
+    mode='sign' (binary variants): outputs are (softmax-0.5)/10, bounded to
+    +-0.05, which saturates the band test (every far cell looks "near"), so
+    cull on corner sign changes DILATED by one coarse cell. Heuristic, not
+    sound: a feature thinner than ~2 coarse cells that never flips a corner
+    sign can be missed — mirrors the resolution limit marching cubes itself
+    has at the coarse grid, and the reference offers no sparse binary path
+    at all (test/create_sdf.py:279-285 runs the full grid).
+
     Returns (cell_ids [max_cells] int32 (padded with 0), count).
     """
     rc = vol_c.shape[0]
@@ -75,9 +86,18 @@ def _active_cells(vol_c: jnp.ndarray, tau: jnp.ndarray, max_cells: int
         vol_c[dz:dz + c, dy:dy + c, dx:dx + c]
         for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
     ])  # [8, c, c, c]
-    near = jnp.min(jnp.abs(corners), axis=0) < tau
     sign_change = jnp.any(corners < 0, axis=0) & jnp.any(corners >= 0, axis=0)
-    active = (near | sign_change).reshape(-1)
+    if mode == "sign":
+        p = jnp.pad(sign_change, 1)
+        active = jnp.zeros_like(sign_change)
+        for dz in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    active = active | p[dz:dz + c, dy:dy + c, dx:dx + c]
+        active = active.reshape(-1)
+    else:
+        near = jnp.min(jnp.abs(corners), axis=0) < tau
+        active = (near | sign_change).reshape(-1)
 
     csum = jnp.cumsum(active.astype(jnp.int32))
     idx = jnp.where(active, csum - 1, max_cells)
@@ -133,7 +153,9 @@ def _sparse_parts(cfg: Config, stride: int, block: int,
         span = sdf_params[3:6] - sdf_params[0:3]
         cell_diag = jnp.sqrt(jnp.sum(jnp.square(span / (rc - 1))))
         cell_ids, count = _active_cells(vol_c, band_factor * cell_diag,
-                                        cell_cap)
+                                        cell_cap,
+                                        mode="sign" if cfg.binary
+                                        else "band")
         return embedding, endpoints, vol_c, cell_ids, count, esc_a
 
     c = rc - 1
@@ -382,7 +404,9 @@ def make_sharded_sparse_fn(cfg: Config, mesh, stride: int = 4,
         span = sdf_params[3:6] - sdf_params[0:3]
         cell_diag = jnp.sqrt(jnp.sum(jnp.square(span / (rc - 1))))
         cell_ids, count = _active_cells(vol_c, band_factor * cell_diag,
-                                        cell_cap)
+                                        cell_cap,
+                                        mode="sign" if cfg.binary
+                                        else "band")
         dev = jax.lax.axis_index(POINT_AXIS)
 
         def fine_block(i):

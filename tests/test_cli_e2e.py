@@ -189,3 +189,32 @@ def test_convert_ckpt_cli(tmp_path):
     from disn_tpu.train import checkpoint
     params = checkpoint.restore_params(out)["params"]
     assert params["sdfprediction"]["fold1"]["conv1"]["weights"].shape == (3, 64)
+
+
+def test_demo_chair_png_with_trans_mat(tmp_path):
+    """The reference demo contract wiring: bundled chair PNG
+    (demo/03001627_17e916fc863540ee3def89b32cef8e45_20.png) + its
+    hard-coded GT trans_mat (demo/demo.py:272-276, shipped as
+    demo/chair_trans_mat.txt) through `demo --image <png> --trans-mat
+    <txt>`. Geometry parity with demo/result.obj needs the converted
+    SDF_DISN checkpoint (data-blocked); the input path and camera are the
+    reference's exactly."""
+    import jax
+    from disn_tpu.config import Config
+    from disn_tpu.models import disn
+    from disn_tpu.train import checkpoint
+
+    cfg = cli.apply_overrides(Config(), SET)
+    params = disn.init(cfg, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "demo.npz")
+    checkpoint.save(ckpt, {"params": jax.tree_util.tree_map(
+        np.asarray, params)})
+    out_obj = str(tmp_path / "chair.obj")
+    cli.main(["demo", "--image", "demo/chair.png",
+              "--trans-mat", "demo/chair_trans_mat.txt",
+              "--restore", ckpt, "--out", out_obj, "--dense"] + _set_args())
+    assert os.path.exists(out_obj)
+    # the parsed matrix must be the reference's values
+    m = np.loadtxt("demo/chair_trans_mat.txt", dtype=np.float32, comments="#")
+    assert m.shape == (4, 3)
+    np.testing.assert_allclose(m[3], [101.133705, 101.34268, 1.4305686])

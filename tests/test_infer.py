@@ -269,3 +269,30 @@ def test_analytic_octahedron_params():
     _, count, esc = fn(params, jnp.asarray(img), jnp.asarray(trans),
                        jnp.asarray(sdfp))
     assert int(count) <= cap and int(esc) == 0
+
+
+def test_binary_sparse_matches_dense():
+    """Binary variant through the sign-change-dilation sparse path: same
+    extracted surface as the dense path (the far field differs by
+    interpolation but never in sign)."""
+    import numpy as np
+    from disn_tpu.data import synthetic
+    from disn_tpu.infer import pipeline
+    from disn_tpu.ops import marching
+
+    cfg = synthetic.tiny_config(sdf_res=32, num_classes=32, width_mult=0.125,
+                                compute_dtype="float32", binary=True)
+    params = synthetic.analytic_octahedron_params(cfg, r=0.6)
+    img = np.random.RandomState(0).rand(1, 137, 137, 3).astype(np.float32)
+    trans = synthetic.demo_trans_mat()
+    sdfp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    vol_d = np.asarray(pipeline.predict_volume(params, img, trans, sdfp, cfg,
+                                               sparse=False))
+    vol_s = np.asarray(pipeline.predict_volume(params, img, trans, sdfp, cfg,
+                                               sparse=True))
+    assert np.array_equal(np.sign(vol_d), np.sign(vol_s))
+    vd, fd = marching.extract_mesh_owned(vol_d, sdfp)
+    vs, fs = marching.extract_mesh_owned(vol_s, sdfp)
+    assert len(vd) == len(vs) and len(fd) == len(fs)
+    np.testing.assert_allclose(np.sort(vs, axis=0), np.sort(vd, axis=0),
+                               atol=1e-5)
