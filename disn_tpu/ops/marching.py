@@ -411,7 +411,8 @@ def extract_mesh_deferred(volume, sdf_params, iso: float = 0.0,
     if n_cells == 0:
         return lambda: (np.zeros((0, 3), np.float32),
                         np.zeros((0, 3), np.int32))
-    n_iter = min(_pow2b(-(-n_cells // batch)), -(-gcap * 64 // batch))
+    n_iter = min(_qbucket(max(1, -(-n_cells // batch))),
+                 -(-gcap * 64 // batch))
     sp = jnp.asarray(sdf_params, jnp.float32)
     verts_d, nv_d, faces_d, ntri_d = _extract_owned(
         vol, sp, ids, n_cells_d, iso=float(iso), n_iter=n_iter, batch=batch)
@@ -423,13 +424,14 @@ def extract_mesh_deferred(volume, sdf_params, iso: float = 0.0,
         sdf_np = np.asarray(sdf_params)
 
         def fetch():
-            return _unpack_mesh(np.asarray(buf_d), sdf_np, vb, tb, nv, ntri)
+            return _unpack_mesh(_fetch_parallel(buf_d), sdf_np, vb, tb, nv,
+                                ntri)
     else:
         vd = _slice_rows(verts_d, vb)
         fd = _slice_rows(faces_d, tb)
 
         def fetch():
-            return np.asarray(vd)[:nv], np.asarray(fd)[:ntri]
+            return _fetch_parallel(vd)[:nv], _fetch_parallel(fd)[:ntri]
     return fetch
 
 
@@ -629,6 +631,19 @@ def _active_cells_ext(volume: jnp.ndarray, iso: float, gcap: int
     return ids, cs[-1], jnp.maximum(g_count - gcap, 0)
 
 
+def _pack8(src_pad: jnp.ndarray, E: int) -> jnp.ndarray:
+    """[E+1,E+1,E+1] padded field -> [E^3, 8] rows: every cell's 8 corner
+    values contiguously, CORNERS order. One bandwidth-bound pass (8 shifted
+    slices, XLA fuses) that converts the extractor's per-corner SCALAR
+    gathers into per-cell ROW gathers — TPU gathers cost ~30ns/row
+    regardless of row size, so this is ~8x fewer serialized rows. (A (2,2,2)
+    windowed jax.lax.gather expresses the same thing without the 8x memory,
+    but compiles for tens of minutes on the TPU backend.)"""
+    parts = [src_pad[oz:oz + E, oy:oy + E, ox:ox + E]
+             for (ox, oy, oz) in CORNERS.tolist()]
+    return jnp.stack(parts, axis=-1).reshape(E ** 3, 8)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("iso", "n_iter", "batch"))
 def _extract_owned(volume: jnp.ndarray, sdf_params: jnp.ndarray,
@@ -641,7 +656,8 @@ def _extract_owned(volume: jnp.ndarray, sdf_params: jnp.ndarray,
     D = len(pair_i_np)
     R = volume.shape[0]
     E = R
-    vflat = volume.reshape(-1)
+    # edge padding == the per-corner min(.,R-1) clamp of the ghost layer
+    vpack = _pack8(jnp.pad(volume, ((0, 1),) * 3, mode="edge"), E)
     offs = jnp.asarray(CORNERS)  # [8,3] (x,y,z)
     tets = jnp.asarray(TETS)
     lo = sdf_params[0:3]
@@ -659,7 +675,7 @@ def _extract_owned(volume: jnp.ndarray, sdf_params: jnp.ndarray,
         gx = jnp.minimum(cx[:, None] + offs[None, :, 0], R - 1)
         gy = jnp.minimum(cy[:, None] + offs[None, :, 1], R - 1)
         gz = jnp.minimum(cz[:, None] + offs[None, :, 2], R - 1)
-        vals = vflat[((gz * R + gy) * R + gx)]
+        vals = jnp.take(vpack, cids, axis=0)
         return vals, gx, gy, gz
 
     slot_base = jnp.arange(batch, dtype=jnp.int32)
@@ -723,6 +739,9 @@ def _extract_owned(volume: jnp.ndarray, sdf_params: jnp.ndarray,
     slot_valid = jnp.arange(n_iter * batch, dtype=jnp.int32) < n_cells
     vtable = jnp.zeros((E ** 3,), jnp.int32).at[
         jnp.where(slot_valid, all_ids, E ** 3)].set(packed, mode="drop")
+    # zero pad on high: out-of-range neighbors (only referenced by masked
+    # slots) read packed=0 instead of aliasing a real cell
+    vtpack = _pack8(jnp.pad(vtable.reshape(E, E, E), ((0, 1),) * 3), E)
 
     # ---- pass 2: triangles -> welded vertex indices ----
     counts_j = jnp.asarray(_tables()[1].astype(np.float32))     # [6,16]
@@ -748,12 +767,9 @@ def _extract_owned(volume: jnp.ndarray, sdf_params: jnp.ndarray,
         nb = nb.reshape(batch, 6, 2, 3)
         dr = dr.reshape(batch, 6, 2, 3)
 
-        # one gather of the 8 neighbor owner cells per cell, then per-vertex
-        # one-hot select over the tiny 8-axis
-        ncell = ((cz[:, None] + offs[None, :, 2]) * E
-                 + (cy[:, None] + offs[None, :, 1])) * E \
-            + (cx[:, None] + offs[None, :, 0])                   # [B,8]
-        packed8 = vtable[jnp.clip(ncell, 0, E ** 3 - 1)]         # [B,8] i32
+        # one ROW gather of the 8 neighbor owner cells per cell, then
+        # per-vertex one-hot select over the tiny 8-axis
+        packed8 = jnp.take(vtpack, cids, axis=0)                 # [B,8] i32
         # packed reaches vstart*2^D ~ 2^29 — beyond f32's exact-integer
         # range, so select with INTEGER one-hot arithmetic, not an einsum
         nb_oh = (nb[..., None]
@@ -808,6 +824,33 @@ def _slice_rows(buf, n: int):
     return jax.lax.slice_in_dim(buf, 0, n)
 
 
+@functools.partial(jax.jit, static_argnames=("lo", "hi"))
+def _slice_span(buf, lo: int, hi: int):
+    return jax.lax.slice_in_dim(buf, lo, hi)
+
+
+_FETCH_POOL = None
+
+
+def _fetch_parallel(buf_d, parts: int = 4) -> np.ndarray:
+    """Device->host transfer as `parts` concurrent slice fetches: the axon
+    tunnel serializes a single array fetch at ~22 MB/s but sustains ~52 MB/s
+    across >=4 concurrent streams (measured; x2 does not help). Slice bounds
+    are static per bucketed shape, so the tiny slice jits cache."""
+    global _FETCH_POOL
+    n = int(buf_d.shape[0])
+    if n < 1 << 18:  # small: RTT-bound, one stream
+        return np.asarray(buf_d)
+    if _FETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _FETCH_POOL = ThreadPoolExecutor(4)
+    bounds = [i * n // parts for i in range(parts)] + [n]
+    slices = [_slice_span(buf_d, bounds[i], bounds[i + 1])
+              for i in range(parts)]
+    out = list(_FETCH_POOL.map(np.asarray, slices))
+    return np.concatenate(out)
+
+
 _PACK_F0 = 21  # face-index field widths: f0 21b | f1 21b | f2 22b over 2 u32
 _PACK_F1LO = 11
 
@@ -848,6 +891,40 @@ def _unpack_mesh(buf: np.ndarray, sdf_params, nv_b: int, nt_b: int, nv: int,
     return verts, np.stack([f0, f1, f2], -1).astype(np.int32)
 
 
+def _norm_gcap(E: int, gcap: int | None) -> int:
+    if gcap is None:
+        # surfaces cross O(R^2) cells, ~1/4 of a crossed 4^3 group's cells
+        gcap = max(512, (E * E) // 4)
+    return min(-(-gcap // 128) * 128, -(-((E + 3) // 4) ** 3 // 128) * 128)
+
+
+def extract_mesh_from_ids(vol, sdf_params, ids, n_cells_d, n_cells: int,
+                          iso: float = 0.0, gcap: int = 0, batch: int = 8192,
+                          packed: bool = True
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Owned-edge extraction given a PRECOMPUTED active-cell list (e.g. the
+    one the sparse inference pass emits in the same jit as the volume —
+    skips the standalone scan and its host sync). ids layout is
+    _active_cells_ext's: [gcap*64] flat over the extended E^3 cell grid."""
+    if n_cells == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    n_iter = min(_qbucket(max(1, -(-n_cells // batch))),
+                 -(-gcap * 64 // batch))
+    verts_d, nv_d, faces_d, ntri_d = _extract_owned(
+        vol, jnp.asarray(sdf_params, jnp.float32), ids, n_cells_d,
+        iso=float(iso), n_iter=n_iter, batch=batch)
+    nv, ntri = (int(x) for x in jax.device_get((nv_d, ntri_d)))
+    vb = min(_qbucket(max(nv, 1)), verts_d.shape[0])
+    tb = min(_qbucket(max(ntri, 1)), faces_d.shape[0])
+    if packed and nv < (1 << _PACK_F0):
+        sp = jnp.asarray(sdf_params, jnp.float32)
+        buf = _fetch_parallel(_pack_mesh(verts_d, faces_d, sp, vb, tb))
+        return _unpack_mesh(buf, sdf_params, vb, tb, nv, ntri)
+    verts = _fetch_parallel(_slice_rows(verts_d, vb))[:nv]
+    faces = _fetch_parallel(_slice_rows(faces_d, tb))[:ntri]
+    return verts, faces
+
+
 def extract_mesh_owned(volume, sdf_params, iso: float = 0.0,
                        gcap: int | None = None, batch: int = 8192,
                        packed: bool = False
@@ -861,32 +938,15 @@ def extract_mesh_owned(volume, sdf_params, iso: float = 0.0,
     _pack_mesh): ~40% of the bytes, vertex error <= 1.5e-5 of the bbox
     span. Falls back to exact f32 when nv exceeds the 21-bit field."""
     R = volume.shape[0]
-    E = R
-    if gcap is None:
-        # surfaces cross O(R^2) cells, ~1/4 of a crossed 4^3 group's cells
-        gcap = max(512, (E * E) // 4)
-    gcap = min(-(-gcap // 128) * 128, -(-((E + 3) // 4) ** 3 // 128) * 128)
+    gcap = _norm_gcap(R, gcap)
     vol = jnp.asarray(volume, jnp.float32)
     ids, n_cells_d, g_over = _active_cells_ext(vol, float(iso), gcap)
     n_cells, gov = (int(x) for x in jax.device_get((n_cells_d, g_over)))
     if gov > 0:
         raise ValueError(f"active-cell group overflow: cap {gcap}")
-    if n_cells == 0:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
-    n_iter = min(_pow2b(-(-n_cells // batch)), -(-gcap * 64 // batch))
-    verts_d, nv_d, faces_d, ntri_d = _extract_owned(
-        vol, jnp.asarray(sdf_params, jnp.float32), ids, n_cells_d,
-        iso=float(iso), n_iter=n_iter, batch=batch)
-    nv, ntri = (int(x) for x in jax.device_get((nv_d, ntri_d)))
-    vb = min(_qbucket(max(nv, 1)), verts_d.shape[0])
-    tb = min(_qbucket(max(ntri, 1)), faces_d.shape[0])
-    if packed and nv < (1 << _PACK_F0):
-        sp = jnp.asarray(sdf_params, jnp.float32)
-        buf = np.asarray(_pack_mesh(verts_d, faces_d, sp, vb, tb))
-        return _unpack_mesh(buf, sdf_params, vb, tb, nv, ntri)
-    verts = np.asarray(_slice_rows(verts_d, vb))[:nv]
-    faces = np.asarray(_slice_rows(faces_d, tb))[:ntri]
-    return verts, faces
+    return extract_mesh_from_ids(vol, sdf_params, ids, n_cells_d, n_cells,
+                                 iso=iso, gcap=gcap, batch=batch,
+                                 packed=packed)
 
 
 # --------------------------------------------------------------------------
