@@ -251,25 +251,20 @@ def make_sharded_dense_sdf_fn(cfg: Config, mesh: Mesh, block: int = 65536):
     along z — gather it (or write per-slab) downstream."""
     resolution = cfg.grid_resolution
     total = resolution ** 3
-    n_dev = mesh.shape[POINT_AXIS]
+    # EVERY device of the mesh works a slab, including the data axis of a 2D
+    # (data, points) eval-farm mesh: the linear device index runs row-major
+    # over all axes, matching the stacked out_specs order
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
     block = min(block, _round_up(-(-total // n_dev), 8))
     per_dev = _round_up(-(-total // n_dev), block)
     padded = per_dev * n_dev
-
-    # shard over every mesh axis so the slab count matches device count even
-    # when a data axis exists
-    axes = tuple(mesh.axis_names)
 
     fold = normalize_fold(None, cfg)
 
     def worker(params, img, trans_mat, sdf_params):
         embedding, endpoints = _prep(params, img, cfg, fold_local=fold)
-        idx = jax.lax.axis_index(POINT_AXIS)
-        if len(axes) > 1:
-            other = int(np.prod([mesh.shape[a] for a in axes
-                                 if a != POINT_AXIS]))
-            if other > 1:
-                raise ValueError("use a points-only mesh for dense inference")
+        idx = jax.lax.axis_index(axes)
         start = idx * per_dev
         vals = _stream_blocks(params, endpoints, embedding, trans_mat,
                               sdf_params, cfg, start, per_dev, block,
@@ -279,7 +274,7 @@ def make_sharded_dense_sdf_fn(cfg: Config, mesh: Mesh, block: int = 65536):
     sharded = shard_map(
         worker, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
-        out_specs=P(POINT_AXIS),
+        out_specs=P(axes),
         check_vma=False,
     )
 
@@ -298,7 +293,7 @@ def dense_sdf(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     """Convenience wrapper. device_out=True keeps the volume on device so a
     downstream on-device consumer (marching tets) avoids the host round trip
     — on tunneled TPU hosts the 67MB volume transfer costs seconds."""
-    if mesh is not None and mesh.shape[POINT_AXIS] > 1:
+    if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
         fn = make_sharded_dense_sdf_fn(cfg, mesh, block)
         params = jax.device_put(params, NamedSharding(mesh, P()))
     else:

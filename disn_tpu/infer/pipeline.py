@@ -83,6 +83,54 @@ def volume_to_mesh(vol: np.ndarray, sdf_params: np.ndarray, iso: float = 0.0,
     return verts, faces
 
 
+def _sparse_fused_mesh(params: Params, img: np.ndarray,
+                       trans_mat: np.ndarray, sdf_params: np.ndarray,
+                       cfg: Config, iso: float, block: int = 65536
+                       ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Production fast path: sparse two-phase inference with the mesh
+    extractor's active-cell scan fused into phase_b (one jit, one shared
+    host sync) — the volume never triggers a standalone scan round trip.
+    Returns None when a fallback condition fires (cap overflow / fused-
+    kernel escape overflow); the caller then runs the exact unfused path."""
+    import jax
+    import jax.numpy as jnp
+
+    from disn_tpu.ops import marching as marching_mod
+
+    sizes, _, _ = sparse_mod._sparse_parts(
+        cfg, cfg.sparse_stride, block, cfg.cell_cap_frac, cfg.band_factor)
+    pa = sparse_mod._phase_a_jit(cfg, cfg.sparse_stride, block,
+                                 cfg.cell_cap_frac, cfg.band_factor)
+    embedding, endpoints, vol_c, cell_ids, count, esc_a = pa(
+        params, jnp.asarray(img), jnp.asarray(trans_mat),
+        jnp.asarray(sdf_params))
+    # ONE round trip for both phase-a scalars
+    c, ea = (int(x) for x in jax.device_get((count, esc_a)))
+    if c > sizes["cell_cap"] or ea > 0:
+        return None
+    n_blocks = min(sizes["max_blocks"],
+                   sparse_mod._pow2(max(1, -(-c // sizes["cells_per_block"]))))
+    gcap = marching_mod._norm_gcap(cfg.grid_resolution, None)
+    pbm = sparse_mod._phase_b_mesh_jit(
+        cfg, cfg.sparse_stride, block, cfg.cell_cap_frac, cfg.band_factor,
+        n_blocks, float(iso), gcap)
+    vol, esc_b, ids, ncd, gov_d = pbm(
+        params, embedding, endpoints, vol_c, cell_ids, count,
+        jnp.asarray(trans_mat), jnp.asarray(sdf_params))
+    eb, nc, gov = (int(x) for x in jax.device_get((esc_b, ncd, gov_d)))
+    if eb > 0:
+        return None
+    if gov > 0:
+        # high-genus group-cap overflow: rescan the (already computed)
+        # volume at the configured ceiling
+        mt = cfg.max_triangles
+        return marching_mod.extract_mesh_owned(
+            vol, sdf_params, iso=iso,
+            gcap=None if mt is None else max(512, mt // 12), packed=True)
+    return marching_mod.extract_mesh_from_ids(
+        vol, sdf_params, ids, ncd, nc, iso=iso, gcap=gcap, packed=True)
+
+
 def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                   cfg: Config, sdf_params: np.ndarray | None = None,
                   iso: float | None = None, sparse: bool = True,
@@ -93,6 +141,17 @@ def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     if sdf_params is None:
         sdf_params = np.array([-1, -1, -1, 1, 1, 1], np.float32)
     iso = cfg.iso if iso is None else iso
+    if img.ndim == 3:
+        img = img[None]
+    if (sparse and cfg.variant.value != "threedcnn"
+            and cfg.sdf_res % cfg.sparse_stride == 0):
+        out = _sparse_fused_mesh(params, img, trans_mat, sdf_params, cfg,
+                                 iso)
+        if out is not None:
+            verts, faces = out
+            if clean and len(faces):
+                verts, faces = clean_small_parts(verts, faces)
+            return verts, faces
     vol = predict_volume(params, img, trans_mat, sdf_params, cfg,
                          sparse=sparse)
     return volume_to_mesh(vol, sdf_params, iso=iso, clean=clean,
@@ -186,8 +245,6 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
             raise item
         cat_id, obj, view, rec, sdf = item
         img = rec.img_arr[:, :, :cfg.img_channels].astype(np.float32) / 255.0
-        vol = predict_volume(params, img, rec.trans_mat, sdf.sdf_params, cfg,
-                             sparse=sparse)
         # two-digit view id like the reference output tree
         # (test/create_sdf.py:311, view ids from the NN.h5 stems)
         out = os.path.join(out_root, cat_id,
@@ -198,8 +255,9 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
         # plain fetches) contends on the tunnel and measures SLOWER than
         # strictly sequential (2.3-2.9 s/img vs 0.8). The pool overlaps
         # only host-side file writes (cheap since the native OBJ formatter).
-        verts, faces = volume_to_mesh(vol, sdf.sdf_params, iso=cfg.iso,
-                                      max_tris=cfg.max_triangles)
+        verts, faces = image_to_mesh(params, img, rec.trans_mat, cfg,
+                                     sdf_params=sdf.sdf_params, iso=cfg.iso,
+                                     sparse=sparse)
 
         def write(verts=verts, faces=faces, out=out):
             codecs.write_obj(out, verts, faces)

@@ -290,6 +290,29 @@ def _phase_b_jit(cfg, stride, block, cell_cap_frac, band_factor,
     return jax.jit(functools.partial(finish, n_blocks=n_blocks))
 
 
+@functools.lru_cache(maxsize=128)
+def _phase_b_mesh_jit(cfg, stride, block, cell_cap_frac, band_factor,
+                      n_blocks: int, iso: float, gcap: int):
+    """phase_b + the mesh extractor's active-FINE-cell scan in ONE jit:
+    the scan's (n_cells, overflow) sync rides the same host round trip as
+    esc_b instead of paying its own ~25ms tunnel RTT (VERDICT round-1 item
+    3: the sparse pass and mesh extraction now talk to each other)."""
+    from disn_tpu.ops import marching
+
+    _, _, finish = _sparse_parts(cfg, stride, block, cell_cap_frac,
+                                 band_factor)
+
+    @jax.jit
+    def fn(params, embedding, endpoints, vol_c, cell_ids, count,
+           trans_mat, sdf_params):
+        vol, esc_b = finish(params, embedding, endpoints, vol_c, cell_ids,
+                            count, trans_mat, sdf_params, n_blocks=n_blocks)
+        ids, n_cells, g_over = marching._active_cells_ext(vol, iso, gcap)
+        return vol, esc_b, ids, n_cells, g_over
+
+    return fn
+
+
 def _pow2(n: int) -> int:
     out = 1
     while out < n:

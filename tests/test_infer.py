@@ -62,6 +62,20 @@ def test_dense_sharded_matches_single(setup):
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
 
 
+def test_dense_sharded_2d_mesh_matches_single(setup):
+    """An eval-farm (data, points) 2D mesh: dense inference uses EVERY device
+    as a slab worker instead of refusing mixed meshes."""
+    cfg, params, img = setup
+    n = len(jax.devices())
+    if n % 2:
+        pytest.skip("needs an even device count")
+    mesh = make_mesh(data=2, points=n // 2)
+    single = dense.dense_sdf(params, img, TRANS, SDF_PARAMS, cfg, block=128)
+    sharded = dense.dense_sdf(params, img, TRANS, SDF_PARAMS, cfg, block=128,
+                              mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
 def test_dense_binary_variant(setup):
     cfg = tiny_cfg(binary=True)
     params = disn.init(cfg, jax.random.PRNGKey(2))
@@ -269,6 +283,35 @@ def test_analytic_octahedron_params():
     _, count, esc = fn(params, jnp.asarray(img), jnp.asarray(trans),
                        jnp.asarray(sdfp))
     assert int(count) <= cap and int(esc) == 0
+
+
+def test_image_to_mesh_fused_matches_unfused():
+    """The fused production driver (scan inside phase_b, extraction from the
+    precomputed cell list) produces the SAME welded mesh as the two-step
+    volume -> extract path, on regress and binary variants."""
+    import numpy as np
+    from disn_tpu.data import synthetic
+    from disn_tpu.infer import pipeline
+
+    for binary in (False, True):
+        cfg = synthetic.tiny_config(sdf_res=32, num_classes=32,
+                                    width_mult=0.125,
+                                    compute_dtype="float32", binary=binary)
+        # at 8^3 coarse cells the binary sign-dilation marks >25% of cells;
+        # raise the cap so the sparse path engages instead of falling back
+        cfg = cfg.replace(cell_cap_frac=0.9)
+        params = synthetic.analytic_octahedron_params(cfg, r=0.6)
+        img = np.random.RandomState(0).rand(1, 137, 137, 3).astype(np.float32)
+        trans = synthetic.demo_trans_mat()
+        sdfp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+        fused = pipeline._sparse_fused_mesh(params, img, trans, sdfp, cfg,
+                                            iso=cfg.iso)
+        assert fused is not None  # distance-like field: no fallback fired
+        vol = pipeline.predict_volume(params, img, trans, sdfp, cfg,
+                                      sparse=True)
+        want = pipeline.volume_to_mesh(vol, sdfp, iso=cfg.iso)
+        np.testing.assert_allclose(fused[0], want[0], atol=2e-5)
+        np.testing.assert_array_equal(fused[1], want[1])
 
 
 def test_binary_sparse_matches_dense():
