@@ -127,8 +127,11 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
         return marching_mod.extract_mesh_owned(
             vol, sdf_params, iso=iso,
             gcap=None if mt is None else max(512, mt // 12), packed=True)
-    return marching_mod.extract_mesh_from_ids(
-        vol, sdf_params, ids, ncd, nc, iso=iso, gcap=gcap, packed=True)
+    # record mode: slot-dense records (static shapes, no further count
+    # syncs) fetched in parallel streams; verts+faces assembled natively on
+    # the host off the device critical path
+    return marching_mod.extract_mesh_records(
+        vol, sdf_params, ids, nc, iso=iso, gcap=gcap)
 
 
 def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,

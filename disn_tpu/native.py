@@ -26,7 +26,8 @@ def _load() -> ctypes.CDLL:
         if _lib is not None:
             return _lib
         srcs = [os.path.join(_NATIVE_DIR, f)
-                for f in ("distfield.cpp", "objwriter.cpp")]
+                for f in ("distfield.cpp", "objwriter.cpp",
+                          "meshassemble.cpp")]
         if not os.path.exists(_LIB_PATH) or any(
                 os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
                 for s in srcs):
@@ -48,8 +49,57 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.mesh_assemble.restype = ctypes.c_int
+        lib.mesh_assemble.argtypes = [
+            i32p, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), i32p,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return lib
+
+
+def mesh_assemble(ids: np.ndarray, recs: np.ndarray, tq: np.ndarray,
+                  n_cells: int, R: int, bbox: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Welded (verts, faces) from the device's owned-edge slot records (see
+    ops/marching.py::_extract_records / assemble_mesh_np — this is the
+    numpy oracle's C twin; releases the GIL)."""
+    from disn_tpu.ops.marching import CORNERS, TETS, _owned_tables, _tables
+
+    lib = _load()
+    pair_i, pair_j, nb_tbl, dir_tbl = _owned_tables()
+    D = len(pair_i)
+    ids = np.ascontiguousarray(ids[:n_cells], np.int32)
+    recs = np.ascontiguousarray(recs[:n_cells], np.uint32)
+    tq = np.ascontiguousarray(tq[:n_cells], np.uint16)
+    i32c = lambda a: np.ascontiguousarray(a, np.int32)  # noqa: E731
+    # named so the arrays outlive the raw pointers passed to C
+    tables = [i32c(pair_i), i32c(pair_j), i32c(CORNERS), i32c(TETS),
+              i32c(_tables()[1]), i32c(nb_tbl), i32c(dir_tbl)]
+    bbox_f = np.ascontiguousarray(bbox, np.float32)
+    verts = np.empty((n_cells * D, 3), np.float32)
+    faces = np.empty((n_cells * 12, 3), np.int32)
+    out_counts = np.zeros(2, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.mesh_assemble(
+        ids.ctypes.data_as(i32p),
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        tq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        np.int32(n_cells), np.int32(R), np.int32(D),
+        *[t.ctypes.data_as(i32p) for t in tables],
+        bbox_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        faces.ctypes.data_as(i32p),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc:
+        raise RuntimeError(f"mesh_assemble failed (rc={rc})")
+    return verts[:out_counts[0]].copy(), faces[:out_counts[1]].copy()
 
 
 def format_obj(verts: np.ndarray, faces: np.ndarray | None) -> bytes:

@@ -1,0 +1,116 @@
+// Owned-edge mesh assembly from device-emitted slot records.
+//
+// The TPU extraction pass (disn_tpu/ops/marching.py::_extract_records) emits
+// per active cell: the 8-corner inside mask, the crossing-direction mask
+// (alias-suppressed), and each crossing edge's interpolation parameter as
+// u16 fixed point. This function rebuilds the welded (verts, faces) arrays
+// the device two-pass extractor would have produced — identical vertex order
+// (slot-major, direction-minor) and identical table-driven triangles — at
+// host memory speed, so the device never runs face compaction scatters and
+// the transfer carries ~1.8 MB of records instead of ~4.3 MB of mesh.
+// Replaces nothing in the reference (its marching cubes is the closed-source
+// Vega binary, test/create_sdf.py:319-323); this is the TPU-native split of
+// that work between device and host.
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Returns 0 on success, -1 on a missing neighbor owner (corrupt input).
+// out_counts[0] = nv, out_counts[1] = ntri. Caller sizes out_verts for
+// n_cells*D vertices and out_faces for n_cells*12 triangles (worst case).
+int mesh_assemble(const int32_t* ids, const uint32_t* recs,
+                  const uint16_t* tq, int32_t n_cells, int32_t R, int32_t D,
+                  const int32_t* pair_i, const int32_t* pair_j,
+                  const int32_t* corners,     // [8*3] (x,y,z)
+                  const int32_t* tets,        // [6*4]
+                  const int32_t* counts_tbl,  // [6*16]
+                  const int32_t* nb_tbl,      // [6*16*2*3]
+                  const int32_t* dir_tbl,     // [6*16*2*3]
+                  const float* bbox,          // [6] lo xyz, hi xyz
+                  float* out_verts, int32_t* out_faces, int64_t* out_counts) {
+  const int64_t E = R;
+  const double lo[3] = {bbox[0], bbox[1], bbox[2]};
+  const double span[3] = {bbox[3] - bbox[0], bbox[4] - bbox[1],
+                          bbox[5] - bbox[2]};
+  const double inv = 1.0 / (R - 1);
+
+  // vertex pass: prefix offsets + positions, slot-major/direction-minor
+  std::vector<int64_t> vstart(n_cells);
+  int64_t nv = 0;
+  for (int32_t i = 0; i < n_cells; ++i) {
+    vstart[i] = nv;
+    const int64_t cid = ids[i];
+    const int64_t cz = cid / (E * E), cy = (cid / E) % E, cx = cid % E;
+    const uint32_t cross = recs[i] >> 8;
+    for (int d = 0; d < D; ++d) {
+      if (!(cross >> d & 1u)) continue;
+      const int32_t* oi = corners + 3 * pair_i[d];
+      const int32_t* oj = corners + 3 * pair_j[d];
+      const double t = tq[(int64_t)i * D + d] * (1.0 / 65535.0);
+      const int64_t gi[3] = {std::min(cx + oi[0], E - 1),
+                             std::min(cy + oi[1], E - 1),
+                             std::min(cz + oi[2], E - 1)};
+      const int64_t gj[3] = {std::min(cx + oj[0], E - 1),
+                             std::min(cy + oj[1], E - 1),
+                             std::min(cz + oj[2], E - 1)};
+      for (int a = 0; a < 3; ++a) {
+        const double pi = lo[a] + gi[a] * inv * span[a];
+        const double pj = lo[a] + gj[a] * inv * span[a];
+        out_verts[nv * 3 + a] = (float)(pi + t * (pj - pi));
+      }
+      ++nv;
+    }
+  }
+
+  // owner lookup: ids are group-compacted, not globally sorted
+  std::vector<int32_t> order(n_cells);
+  for (int32_t i = 0; i < n_cells; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(),
+            [&](int32_t a, int32_t b) { return ids[a] < ids[b]; });
+  std::vector<int32_t> sorted_ids(n_cells);
+  for (int32_t i = 0; i < n_cells; ++i) sorted_ids[i] = ids[order[i]];
+
+  auto find_slot = [&](int64_t cid) -> int32_t {
+    auto it = std::lower_bound(sorted_ids.begin(), sorted_ids.end(),
+                               (int32_t)cid);
+    if (it == sorted_ids.end() || *it != cid) return -1;
+    return order[it - sorted_ids.begin()];
+  };
+
+  // face pass: table-driven, same winding as the device extractor
+  int64_t ntri = 0;
+  for (int32_t i = 0; i < n_cells; ++i) {
+    const int64_t cid = ids[i];
+    const int64_t cz = cid / (E * E), cy = (cid / E) % E, cx = cid % E;
+    if (cx > R - 2 || cy > R - 2 || cz > R - 2) continue;  // ghost cell
+    const uint32_t inside = recs[i] & 0xffu;
+    for (int t = 0; t < 6; ++t) {
+      int caze = 0;
+      for (int j = 0; j < 4; ++j) caze |= (inside >> tets[t * 4 + j] & 1u) << j;
+      const int nt = counts_tbl[t * 16 + caze];
+      for (int k = 0; k < nt; ++k) {
+        for (int v = 0; v < 3; ++v) {
+          const int64_t e = (((int64_t)t * 16 + caze) * 2 + k) * 3 + v;
+          const int32_t* off = corners + 3 * nb_tbl[e];
+          const int drc = dir_tbl[e];
+          const int64_t oid =
+              ((cz + off[2]) * E + (cy + off[1])) * E + (cx + off[0]);
+          const int32_t s = find_slot(oid);
+          if (s < 0) return -1;
+          const uint32_t cmask = recs[s] >> 8;
+          const int rank = __builtin_popcount(cmask & ((1u << drc) - 1u));
+          out_faces[ntri * 3 + v] = (int32_t)(vstart[s] + rank);
+        }
+        ++ntri;
+      }
+    }
+  }
+  out_counts[0] = nv;
+  out_counts[1] = ntri;
+  return 0;
+}
+
+}  // extern "C"

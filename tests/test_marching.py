@@ -198,6 +198,69 @@ def test_owned_packed_transfer():
     assert np.abs(pv - ev).max() <= 4.0 / 65535
 
 
+@pytest.mark.parametrize("case", ["sphere", "boundary", "random", "iso"])
+def test_records_match_owned(case):
+    """Record-mode extraction (device slot records -> host assembly, both
+    the numpy oracle and the native C twin) reproduces the device two-pass
+    extractor EXACTLY: same faces, vertices within the edge-t quantization
+    step (1/65535 of a cell edge)."""
+    import jax.numpy as jnp
+
+    iso = 0.0
+    if case == "sphere":
+        vol = sphere_volume(R=17)
+    elif case == "boundary":
+        vol = sphere_volume(R=17, r=1.3)
+    elif case == "random":
+        vol = np.random.RandomState(3).randn(9, 9, 9).astype(np.float32)
+    else:
+        vol = sphere_volume(R=17)
+        iso = 0.07
+    ev, ef = marching.extract_mesh_owned(vol, PARAMS, iso=iso, batch=512)
+
+    R = vol.shape[0]
+    gcap = marching._norm_gcap(R, None)
+    vold = jnp.asarray(vol, jnp.float32)
+    ids, ncd, gov = marching._active_cells_ext(vold, float(iso), gcap)
+    nc = int(ncd)
+    assert int(gov) == 0
+    n_iter = min(marching._qbucket(max(1, -(-nc // 512))),
+                 -(-gcap * 64 // 512))
+    rec_d, tq_d = marching._extract_records(vold, ids, ncd, iso=float(iso),
+                                            n_iter=n_iter, batch=512)
+    ids_np = np.asarray(ids)[:nc]
+    recs, tqs = np.asarray(rec_d), np.asarray(tq_d)
+    cell = 2.0 / (R - 1)
+    for impl in ("numpy", "native"):
+        if impl == "numpy":
+            av, af = marching.assemble_mesh_np(ids_np, recs, tqs, nc, R,
+                                               PARAMS)
+        else:
+            from disn_tpu import native
+            av, af = native.mesh_assemble(ids_np, recs, tqs, nc, R,
+                                          np.asarray(PARAMS, np.float32))
+        np.testing.assert_array_equal(af, ef), impl
+        assert av.shape == ev.shape, impl
+        assert np.abs(av - ev).max() <= cell / 65535 + 1e-6, impl
+
+
+def test_extract_mesh_records_wrapper():
+    """The full record-mode wrapper (parallel fetch + native-or-numpy
+    assembly) against the owned path."""
+    import jax.numpy as jnp
+
+    vol = sphere_volume(R=33)
+    ev, ef = marching.extract_mesh_owned(vol, PARAMS)
+    R = vol.shape[0]
+    gcap = marching._norm_gcap(R, None)
+    vold = jnp.asarray(vol, jnp.float32)
+    ids, ncd, gov = marching._active_cells_ext(vold, 0.0, gcap)
+    rv, rf = marching.extract_mesh_records(vold, PARAMS, ids, int(ncd),
+                                           gcap=gcap)
+    np.testing.assert_array_equal(rf, ef)
+    assert np.abs(rv - ev).max() <= (2.0 / 32) / 65535 + 1e-6
+
+
 def test_owned_empty_and_full():
     v, f = marching.extract_mesh_owned(np.ones((9, 9, 9), np.float32),
                                        PARAMS)
