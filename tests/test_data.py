@@ -65,6 +65,33 @@ def test_epoch_sampler_host_shard(fixture_ds):
     assert set(orders[0].tolist()).isdisjoint(orders[1].tolist())
 
 
+def test_multi_host_loader_harness(fixture_ds):
+    """Multi-host data loading end to end: one PrefetchLoader per simulated
+    host (host_id/host_count), full pipeline (workers, prefetch, ordered
+    consumer). Hosts consume DISJOINT example sets whose union covers the
+    host-truncated epoch — the SPMD input contract for multi-host training
+    (reference scale-out is manual per-GPU splits, README.md:104-110)."""
+    info = fixture_ds
+    cfg = synthetic.tiny_config()
+    listinfo, cats_limit = listing.load_split(
+        info["lst_dir"], info["cats"], "train", view_num=info["views"])
+    paths = listing.SplitPaths(info["sdf_dir"], info["rendered_dir"])
+    seen = []
+    for hid in range(2):
+        loader = pipeline.make_loader(cfg, paths, listinfo, cats_limit,
+                                      epochs=1, workers=2, seed=11,
+                                      host_id=hid, host_count=2)
+        loader.drop_ids = False
+        loader.start()
+        ids = [tuple(i) for _, batch_ids in loader for i in batch_ids]
+        loader.shutdown()
+        seen.append(set(ids))
+    assert seen[0] and seen[1]
+    assert seen[0].isdisjoint(seen[1])
+    per_host = (len(listinfo) // 2 // cfg.batch_size) * cfg.batch_size
+    assert len(seen[0] | seen[1]) == 2 * per_host
+
+
 def test_batch_shapes_and_projection(fixture_ds):
     info = fixture_ds
     cfg = synthetic.tiny_config()
