@@ -3,13 +3,16 @@ BASELINE.json north star: < 100 ms per chip).
 
 Protocol: full-width two-stream DISN (VGG-16 encoder, bf16 compute, tf1
 sampling -> folded-137 local features), PRODUCTION inference path — dynamic
-two-level sparse volume through the fused Pallas cell-decode kernel, owned-
-edge marching tetrahedra, packed quantized mesh fetch. The decoder weights
-are the analytic-octahedron fixture (data/synthetic.py): a trained-model-
-SHAPED field (|x|+|y|+|z| - r, exactly representable by the MLP) so the
-sparse band engages exactly as with a converged checkpoint — RANDOM weights
-produce a non-distance-like field that silently falls back to dense and
-benchmarks the wrong path. Mesh size at 257^3: ~351k triangles.
+two-level sparse volume through the fused Pallas cell-decode kernel with
+the extraction scan fused into the same jit, record-mode owned-edge
+marching tetrahedra (slot-dense per-cell records, static shapes, zero
+count syncs) fetched over parallel streams and assembled to a welded mesh
+by native/meshassemble.cpp. The decoder weights are the analytic-octahedron
+fixture (data/synthetic.py): a trained-model-SHAPED field (|x|+|y|+|z| - r,
+exactly representable by the MLP) so the sparse band engages exactly as
+with a converged checkpoint — RANDOM weights produce a non-distance-like
+field that silently falls back to dense and benchmarks the wrong path.
+Mesh size at 257^3: ~351k triangles.
 
 Timing discipline (learned on the axon tunnel): a FRESH input image per
 repetition and an un-timed fresh-input warm-up pass (the first real
