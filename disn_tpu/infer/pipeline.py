@@ -110,10 +110,13 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
         return None
     n_blocks = min(sizes["max_blocks"],
                    sparse_mod._pow2(max(1, -(-c // sizes["cells_per_block"]))))
-    gcap = marching_mod._norm_gcap(cfg.grid_resolution, None)
+    # candidate-block cap: active cells (<= the fine-pass bucket) + a ghost
+    # margin; overflow falls back to the full-volume scan below
+    n_kcells = n_blocks * sizes["cells_per_block"]
+    bcap = -(-(n_kcells + max(1024, n_kcells // 4)) // 256) * 256
     pbm = sparse_mod._phase_b_mesh_jit(
         cfg, cfg.sparse_stride, block, cfg.cell_cap_frac, cfg.band_factor,
-        n_blocks, float(iso), gcap)
+        n_blocks, float(iso), bcap)
     vol, esc_b, ids, ncd, gov_d = pbm(
         params, embedding, endpoints, vol_c, cell_ids, count,
         jnp.asarray(trans_mat), jnp.asarray(sdf_params))
@@ -131,7 +134,7 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
     # syncs) fetched in parallel streams; verts+faces assembled natively on
     # the host off the device critical path
     return marching_mod.extract_mesh_records(
-        vol, sdf_params, ids, nc, iso=iso, gcap=gcap)
+        vol, sdf_params, ids, nc, iso=iso)
 
 
 def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,

@@ -292,11 +292,15 @@ def _phase_b_jit(cfg, stride, block, cell_cap_frac, band_factor,
 
 @functools.lru_cache(maxsize=128)
 def _phase_b_mesh_jit(cfg, stride, block, cell_cap_frac, band_factor,
-                      n_blocks: int, iso: float, gcap: int):
+                      n_blocks: int, iso: float, bcap: int):
     """phase_b + the mesh extractor's active-FINE-cell scan in ONE jit:
     the scan's (n_cells, overflow) sync rides the same host round trip as
-    esc_b instead of paying its own ~25ms tunnel RTT (VERDICT round-1 item
-    3: the sparse pass and mesh extraction now talk to each other)."""
+    esc_b instead of paying its own ~25ms tunnel RTT, and the scan itself
+    is the CANDIDATE version limited to the active coarse cells — the
+    full-volume group sweep never runs (VERDICT round-1 item 3: the sparse
+    pass and mesh extraction now talk to each other). A dense change-count
+    guard flips the overflow flag if the candidate premise is ever violated
+    (caller falls back to the full scan)."""
     from disn_tpu.ops import marching
 
     _, _, finish = _sparse_parts(cfg, stride, block, cell_cap_frac,
@@ -307,7 +311,8 @@ def _phase_b_mesh_jit(cfg, stride, block, cell_cap_frac, band_factor,
            trans_mat, sdf_params):
         vol, esc_b = finish(params, embedding, endpoints, vol_c, cell_ids,
                             count, trans_mat, sdf_params, n_blocks=n_blocks)
-        ids, n_cells, g_over = marching._active_cells_ext(vol, iso, gcap)
+        ids, n_cells, g_over = marching._active_cells_from_coarse(
+            vol, cell_ids, count, iso=iso, stride=stride, bcap=bcap)
         return vol, esc_b, ids, n_cells, g_over
 
     return fn

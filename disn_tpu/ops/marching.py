@@ -632,6 +632,78 @@ def _active_cells_ext(volume: jnp.ndarray, iso: float, gcap: int
     return ids, cs[-1], jnp.maximum(g_count - gcap, 0)
 
 
+@functools.partial(jax.jit, static_argnames=("iso", "stride", "bcap"))
+def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
+                              coarse_count: jnp.ndarray, *, iso: float,
+                              stride: int, bcap: int
+                              ) -> tuple[jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray]:
+    """Fine sign-change cells scanned only inside the sparse pass's ACTIVE
+    coarse cells (plus the ghost shell clamped onto them) — the full-volume
+    group-detection sweep of _active_cells_ext never runs.
+
+    SOUND on the sparse-assembled volume: an inactive coarse cell has
+    uniform corner signs (sign-change coarse cells are always active) and
+    its fine values are sign-preserving trilinear interpolation, so every
+    fine corner-sign change lies inside an active coarse cell, or in a
+    ghost cell whose clamped corners replicate one (binary mode's dilated
+    actives are a superset of its sign-change cells too). Requires
+    stride == the scan group size 4 so blocks == coarse cells.
+
+    The block decomposition and z-major compaction are IDENTICAL to
+    _active_cells_ext (gq == cgrid+1, G == stride), so the emitted id
+    sequence is bit-identical — only blocks provably empty are skipped.
+    Returns (ids [bcap*stride^3] flat over E^3, n_cells, block_overflow)."""
+    R = volume.shape[0]
+    E = R
+    S = stride
+    cgrid = (R - 1) // S
+    B3 = cgrid + 1  # ghost block column
+    inside = volume < iso
+    ip = jnp.pad(inside, ((0, 1),) * 3, mode="edge")
+    corners = jnp.stack([ip[dz:dz + E, dy:dy + E, dx:dx + E]
+                         for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)])
+    change = jnp.any(corners, axis=0) & ~jnp.all(corners, axis=0)
+    Ep = B3 * S
+    ch = jnp.pad(change, ((0, Ep - E),) * 3)
+    blk = ch.reshape(B3, S, B3, S, B3, S).transpose(0, 2, 4, 1, 3, 5)
+    blk = blk.reshape(B3 ** 3, S ** 3)
+    n_slots = coarse_ids.shape[0]
+    valid = jnp.arange(n_slots, dtype=jnp.int32) < coarse_count
+    act = jnp.zeros((cgrid ** 3,), bool).at[
+        jnp.where(valid, coarse_ids, cgrid ** 3)].set(True, mode="drop")
+    # edge-pad == the ghost shell's min-clamp onto boundary actives
+    cand = jnp.pad(act.reshape(cgrid, cgrid, cgrid), ((0, 1),) * 3,
+                   mode="edge").reshape(-1)
+    bcs = jnp.cumsum(cand.astype(jnp.int32))
+    bidx = jnp.where(cand, bcs - 1, bcap)
+    bids = jnp.zeros((bcap,), jnp.int32).at[bidx].set(
+        jnp.arange(B3 ** 3, dtype=jnp.int32), mode="drop")
+    b_count = bcs[-1]
+    rows = jnp.take(blk, bids, axis=0)
+    rows = rows & (jnp.arange(bcap, dtype=jnp.int32)[:, None] < b_count)
+    flat = rows.reshape(-1)
+    cs = jnp.cumsum(flat.astype(jnp.int32))
+    cap = bcap * S ** 3
+    cidx = jnp.where(flat, cs - 1, cap)
+    b_of = jnp.repeat(bids, S ** 3)
+    l_of = jnp.tile(jnp.arange(S ** 3, dtype=jnp.int32), bcap)
+    bz = b_of // (B3 * B3)
+    by = (b_of // B3) % B3
+    bx = b_of % B3
+    lz = l_of // (S * S)
+    ly = (l_of // S) % S
+    lx = l_of % S
+    eid = ((bz * S + lz) * E + (by * S + ly)) * E + (bx * S + lx)
+    ids = jnp.zeros((cap,), jnp.int32).at[cidx].set(eid, mode="drop")
+    # correctness guard for fields that violate the band/Lipschitz premise:
+    # any change cell OUTSIDE the candidate blocks flips the overflow flag
+    # and the caller falls back to the full-volume scan — results are
+    # always correct, the candidate scan is only ever a fast path
+    missed = jnp.sum(change) - cs[-1]
+    return ids, cs[-1], jnp.maximum(b_count - bcap, 0) + missed
+
+
 def _pack8(src_pad: jnp.ndarray, E: int) -> jnp.ndarray:
     """[E+1,E+1,E+1] padded field -> [E^3, 8] rows: every cell's 8 corner
     values contiguously, CORNERS order. One bandwidth-bound pass (8 shifted
@@ -1056,7 +1128,7 @@ def extract_mesh_from_ids(vol, sdf_params, ids, n_cells_d, n_cells: int,
 
 
 def extract_mesh_records(vol, sdf_params, ids, n_cells: int,
-                         iso: float = 0.0, gcap: int = 0, batch: int = 8192
+                         iso: float = 0.0, batch: int = 8192
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Record-mode extraction: the device emits slot-dense per-cell records
     (static shapes — NO count sync), the host fetches three buffers in
@@ -1066,7 +1138,7 @@ def extract_mesh_records(vol, sdf_params, ids, n_cells: int,
     if n_cells == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     n_iter = min(_qbucket(max(1, -(-n_cells // batch))),
-                 -(-gcap * 64 // batch))
+                 -(-int(ids.shape[0]) // batch))
     rec_d, tq_d = _extract_records(vol, ids, jnp.int32(n_cells),
                                    iso=float(iso), n_iter=n_iter,
                                    batch=batch)

@@ -244,6 +244,47 @@ def test_records_match_owned(case):
         assert np.abs(av - ev).max() <= cell / 65535 + 1e-6, impl
 
 
+@pytest.mark.parametrize("r", [0.6, 1.3])
+def test_candidate_scan_matches_full_scan(r):
+    """_active_cells_from_coarse (scan limited to band-active coarse cells
+    + ghost shell) emits the BIT-IDENTICAL fine-cell sequence as the
+    full-volume _active_cells_ext, including boundary-crossing surfaces
+    (r=1.3 > box)."""
+    import jax.numpy as jnp
+    from disn_tpu.infer import sparse as sparse_mod
+
+    vol = sphere_volume(R=33, r=r)
+    stride = 4
+    coarse = jnp.asarray(vol[::stride, ::stride, ::stride])
+    rc = coarse.shape[0]
+    span = PARAMS[3:6] - PARAMS[0:3]
+    tau = 1.5 * np.sqrt(np.sum((span / (rc - 1)) ** 2))
+    cell_ids, count = sparse_mod._active_cells(coarse, jnp.float32(tau), 512)
+    ids_c, nc_c, ov = marching._active_cells_from_coarse(
+        jnp.asarray(vol), cell_ids, count, iso=0.0, stride=stride, bcap=768)
+    gcap = marching._norm_gcap(33, None)
+    ids_f, nc_f, gov = marching._active_cells_ext(jnp.asarray(vol), 0.0,
+                                                  gcap)
+    assert int(ov) == 0 and int(gov) == 0
+    n = int(nc_f)
+    assert int(nc_c) == n and n > 0
+    np.testing.assert_array_equal(np.asarray(ids_c)[:n],
+                                  np.asarray(ids_f)[:n])
+
+
+def test_candidate_scan_guard_flags_missed_cells():
+    """A field violating the band premise (sign changes outside the active
+    coarse set) must flip the overflow flag, never silently drop cells."""
+    import jax.numpy as jnp
+
+    vol = sphere_volume(R=33, r=0.6)
+    # claim NO active coarse cells: every change cell is 'missed'
+    ids_c, nc_c, ov = marching._active_cells_from_coarse(
+        jnp.asarray(vol), jnp.zeros((8,), jnp.int32), jnp.int32(0),
+        iso=0.0, stride=4, bcap=768)
+    assert int(ov) > 0
+
+
 def test_extract_mesh_records_wrapper():
     """The full record-mode wrapper (parallel fetch + native-or-numpy
     assembly) against the owned path."""
@@ -255,8 +296,7 @@ def test_extract_mesh_records_wrapper():
     gcap = marching._norm_gcap(R, None)
     vold = jnp.asarray(vol, jnp.float32)
     ids, ncd, gov = marching._active_cells_ext(vold, 0.0, gcap)
-    rv, rf = marching.extract_mesh_records(vold, PARAMS, ids, int(ncd),
-                                           gcap=gcap)
+    rv, rf = marching.extract_mesh_records(vold, PARAMS, ids, int(ncd))
     np.testing.assert_array_equal(rf, ef)
     assert np.abs(rv - ev).max() <= (2.0 / 32) / 65535 + 1e-6
 
