@@ -1018,6 +1018,47 @@ def _extract_records(volume: jnp.ndarray, cell_ids: jnp.ndarray,
     return rec_s.reshape(-1), tq_s.reshape(-1, D)
 
 
+def make_sharded_records_fn(mesh, R: int, *, iso: float, n_iter: int,
+                            batch: int = 8192):
+    """Multi-chip record pass: cell-slot batches striped over the mesh
+    'points' axis (every slot is independent given the volume — SURVEY §2.9
+    P3 applied to mesh extraction). Volume and cell list are replicated;
+    each device emits records for its stripe; host assembly is unchanged.
+    n_iter must divide evenly over the axis (caller buckets it)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from disn_tpu.parallel.mesh import POINT_AXIS
+
+    n_dev = mesh.shape[POINT_AXIS]
+    per_dev = -(-n_iter // n_dev)
+
+    def worker(volume, cell_ids, n_cells):
+        dev = jax.lax.axis_index(POINT_AXIS)
+        start = dev * per_dev * batch
+        my_ids = jax.lax.dynamic_slice_in_dim(cell_ids, start,
+                                              per_dev * batch)
+        # slot indices are global: shift the in-range test by the stripe
+        rec, tq = _extract_records(volume, my_ids,
+                                   jnp.maximum(n_cells - start, 0),
+                                   iso=iso, n_iter=per_dev, batch=batch)
+        return rec[None], tq[None]
+
+    sharded = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(POINT_AXIS), P(POINT_AXIS)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(volume, cell_ids, n_cells):
+        rec, tq = sharded(volume, cell_ids, n_cells)
+        return rec.reshape(-1), tq.reshape(rec.size, -1)
+
+    return fn, per_dev * n_dev * batch
+
+
 def assemble_mesh_np(ids: np.ndarray, recs: np.ndarray, tqs: np.ndarray,
                      n_cells: int, R: int, sdf_params
                      ) -> tuple[np.ndarray, np.ndarray]:

@@ -285,6 +285,43 @@ def test_candidate_scan_guard_flags_missed_cells():
     assert int(ov) > 0
 
 
+def test_sharded_records_match_single():
+    """Record pass striped over the points axis of an 8-device mesh emits
+    the same records as the single-device pass (mesh extraction now shards
+    like the dense/sparse volume paths)."""
+    import jax
+    import jax.numpy as jnp
+    from disn_tpu.parallel import make_mesh
+
+    vol = sphere_volume(R=33)
+    gcap = marching._norm_gcap(33, None)
+    vold = jnp.asarray(vol, jnp.float32)
+    ids, ncd, gov = marching._active_cells_ext(vold, 0.0, gcap)
+    nc = int(ncd)
+    batch = 512
+    n_dev = len(jax.devices())
+    n_iter = n_dev * max(1, -(-nc // (batch * n_dev)))
+    rec1, tq1 = marching._extract_records(vold, ids, ncd, iso=0.0,
+                                          n_iter=n_iter, batch=batch)
+    mesh = make_mesh(data=1, points=n_dev)
+    fn, n_slots = marching.make_sharded_records_fn(mesh, 33, iso=0.0,
+                                                   n_iter=n_iter,
+                                                   batch=batch)
+    assert n_slots == n_iter * batch
+    rec8, tq8 = fn(vold, ids, ncd)
+    np.testing.assert_array_equal(np.asarray(rec8)[:nc],
+                                  np.asarray(rec1)[:nc])
+    np.testing.assert_array_equal(np.asarray(tq8)[:nc],
+                                  np.asarray(tq1)[:nc])
+    # and the assembled mesh equals the owned-path mesh
+    av, af = marching.assemble_mesh_np(np.asarray(ids)[:nc],
+                                       np.asarray(rec8),
+                                       np.asarray(tq8), nc, 33, PARAMS)
+    ev, ef = marching.extract_mesh_owned(vol, PARAMS)
+    np.testing.assert_array_equal(af, ef)
+    assert np.abs(av - ev).max() <= (2.0 / 32) / 65535 + 1e-6
+
+
 def test_extract_mesh_records_wrapper():
     """The full record-mode wrapper (parallel fetch + native-or-numpy
     assembly) against the owned path."""
