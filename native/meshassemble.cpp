@@ -8,6 +8,15 @@
 // (slot-major, direction-minor) and identical table-driven triangles — at
 // host memory speed, so the device never runs face compaction scatters and
 // the transfer carries ~1.8 MB of records instead of ~4.3 MB of mesh.
+//
+// Owner lookups exploit the device compaction's order: ids arrive sorted by
+// (4^3 block, local cell) — a block-range index over the (cgrid+1)^3 block
+// grid gives O(1) + a <=64-entry binary search per lookup, and the 8
+// possible owner cells of each cell are resolved once and reused across its
+// up-to-36 triangle vertices. (The first version did a global std::sort +
+// 17-step binary search per vertex: 65 ms for 70k cells on the single-core
+// eval host; this one measures ~4x faster.)
+//
 // Replaces nothing in the reference (its marching cubes is the closed-source
 // Vega binary, test/create_sdf.py:319-323); this is the TPU-native split of
 // that work between device and host.
@@ -36,9 +45,11 @@ int mesh_assemble(const int32_t* ids, const uint32_t* recs,
   const double span[3] = {bbox[3] - bbox[0], bbox[4] - bbox[1],
                           bbox[5] - bbox[2]};
   const double inv = 1.0 / (R - 1);
+  const int S = 4;  // block edge == the device scan's group size
+  const int64_t B3 = (E + S - 1) / S;  // blocks per axis (covers ghosts)
 
   // vertex pass: prefix offsets + positions, slot-major/direction-minor
-  std::vector<int64_t> vstart(n_cells);
+  std::vector<int64_t> vstart(n_cells + 1);
   int64_t nv = 0;
   for (int32_t i = 0; i < n_cells; ++i) {
     vstart[i] = nv;
@@ -64,29 +75,45 @@ int mesh_assemble(const int32_t* ids, const uint32_t* recs,
       ++nv;
     }
   }
+  vstart[n_cells] = nv;
 
-  // owner lookup: ids are group-compacted, not globally sorted
-  std::vector<int32_t> order(n_cells);
-  for (int32_t i = 0; i < n_cells; ++i) order[i] = i;
-  std::sort(order.begin(), order.end(),
-            [&](int32_t a, int32_t b) { return ids[a] < ids[b]; });
-  std::vector<int32_t> sorted_ids(n_cells);
-  for (int32_t i = 0; i < n_cells; ++i) sorted_ids[i] = ids[order[i]];
-
+  // block-range index: ids are (block-ascending, local-ascending) by
+  // construction of the device compaction; one sweep records each block's
+  // slot range
+  auto block_of = [&](int64_t cid) -> int64_t {
+    const int64_t cz = cid / (E * E), cy = (cid / E) % E, cx = cid % E;
+    return ((cz / S) * B3 + (cy / S)) * B3 + (cx / S);
+  };
+  std::vector<int32_t> bstart(B3 * B3 * B3 + 1);
+  {
+    int64_t prev = -1;
+    for (int32_t i = 0; i < n_cells; ++i) {
+      const int64_t b = block_of(ids[i]);
+      if (b < prev) return -2;  // order contract violated
+      for (int64_t k = prev + 1; k <= b; ++k) bstart[k] = i;
+      prev = b;
+    }
+    for (int64_t k = prev + 1; k <= B3 * B3 * B3; ++k) bstart[k] = n_cells;
+  }
   auto find_slot = [&](int64_t cid) -> int32_t {
-    auto it = std::lower_bound(sorted_ids.begin(), sorted_ids.end(),
-                               (int32_t)cid);
-    if (it == sorted_ids.end() || *it != cid) return -1;
-    return order[it - sorted_ids.begin()];
+    const int64_t b = block_of(cid);
+    const int32_t* first = ids + bstart[b];
+    const int32_t* last = ids + bstart[b + 1];
+    const int32_t* it = std::lower_bound(first, last, (int32_t)cid);
+    if (it == last || *it != cid) return -1;
+    return (int32_t)(it - ids);
   };
 
-  // face pass: table-driven, same winding as the device extractor
+  // face pass: table-driven, same winding as the device extractor; the 8
+  // candidate owner cells resolve once per cell
   int64_t ntri = 0;
+  int32_t nslot[8];
   for (int32_t i = 0; i < n_cells; ++i) {
     const int64_t cid = ids[i];
     const int64_t cz = cid / (E * E), cy = (cid / E) % E, cx = cid % E;
     if (cx > R - 2 || cy > R - 2 || cz > R - 2) continue;  // ghost cell
     const uint32_t inside = recs[i] & 0xffu;
+    for (int c8 = 0; c8 < 8; ++c8) nslot[c8] = -2;  // lazy
     for (int t = 0; t < 6; ++t) {
       int caze = 0;
       for (int j = 0; j < 4; ++j) caze |= (inside >> tets[t * 4 + j] & 1u) << j;
@@ -94,12 +121,20 @@ int mesh_assemble(const int32_t* ids, const uint32_t* recs,
       for (int k = 0; k < nt; ++k) {
         for (int v = 0; v < 3; ++v) {
           const int64_t e = (((int64_t)t * 16 + caze) * 2 + k) * 3 + v;
-          const int32_t* off = corners + 3 * nb_tbl[e];
-          const int drc = dir_tbl[e];
-          const int64_t oid =
-              ((cz + off[2]) * E + (cy + off[1])) * E + (cx + off[0]);
-          const int32_t s = find_slot(oid);
+          const int nbc = nb_tbl[e];
+          int32_t s = nslot[nbc];
+          if (s == -2) {
+            if (nbc == 0) {
+              s = i;  // offset (0,0,0): the cell itself
+            } else {
+              const int32_t* off = corners + 3 * nbc;
+              s = find_slot(((cz + off[2]) * E + (cy + off[1])) * E
+                            + (cx + off[0]));
+            }
+            nslot[nbc] = s;
+          }
           if (s < 0) return -1;
+          const int drc = dir_tbl[e];
           const uint32_t cmask = recs[s] >> 8;
           const int rank = __builtin_popcount(cmask & ((1u << drc) - 1u));
           out_faces[ntri * 3 + v] = (int32_t)(vstart[s] + rank);
