@@ -238,6 +238,10 @@ def _sparse_parts(cfg: Config, stride: int, block: int,
         pvals, pflats = jax.lax.map(
             plane_block, jnp.arange(plane_total // block, dtype=jnp.int32))
 
+        # NOTE: a cell-granular scatter into a 4^3-blocked layout (~12k rows
+        # instead of ~750k) was tried and measured SLOWER (pbm 100 -> 114 ms
+        # at 257^3): the bracketing transposes with a 4-element minor dim
+        # cost more on Mosaic than the point scatter saves. Keep per-point.
         vol = _upsample_aligned(vol_c, stride).reshape(-1)
         vol = vol.at[flats.reshape(-1)].set(vals.reshape(-1), mode="drop")
         vol = vol.at[pflats.reshape(-1)].set(pvals.reshape(-1), mode="drop")
