@@ -85,13 +85,16 @@ def volume_to_mesh(vol: np.ndarray, sdf_params: np.ndarray, iso: float = 0.0,
 
 def _sparse_fused_mesh(params: Params, img: np.ndarray,
                        trans_mat: np.ndarray, sdf_params: np.ndarray,
-                       cfg: Config, iso: float, block: int = 65536
+                       cfg: Config, iso: float, block: int = 65536,
+                       defer: bool = False
                        ) -> tuple[np.ndarray, np.ndarray] | None:
     """Production fast path: sparse two-phase inference with the mesh
     extractor's active-cell scan fused into phase_b (one jit, one shared
     host sync) — the volume never triggers a standalone scan round trip.
     Returns None when a fallback condition fires (cap overflow / fused-
-    kernel escape overflow); the caller then runs the exact unfused path."""
+    kernel escape overflow); the caller then runs the exact unfused path.
+    defer=True returns a zero-argument closure running only host-side
+    assembly (all device traffic already done) for eval-farm overlap."""
     import jax
     import jax.numpy as jnp
 
@@ -127,14 +130,16 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
         # high-genus group-cap overflow: rescan the (already computed)
         # volume at the configured ceiling
         mt = cfg.max_triangles
-        return marching_mod.extract_mesh_owned(
+        mesh_ = marching_mod.extract_mesh_owned(
             vol, sdf_params, iso=iso,
             gcap=None if mt is None else max(512, mt // 12), packed=True)
+        return (lambda: mesh_) if defer else mesh_
     # record mode: slot-dense records (static shapes, no further count
     # syncs) fetched in parallel streams; verts+faces assembled natively on
     # the host off the device critical path
-    return marching_mod.extract_mesh_records(
+    fetch = marching_mod.extract_mesh_records_deferred(
         vol, sdf_params, ids, nc, iso=iso)
+    return fetch if defer else fetch()
 
 
 def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,
@@ -225,6 +230,11 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
     my_list = [t for i, t in enumerate(listinfo)
                if i % shard_count == shard_index]
     out_root = result_dir(log_dir, cfg, cam_est)
+    # writer threads only hide I/O waits; their Python-side work (buffer
+    # copies) holds the GIL and starves the device-dispatch thread on small
+    # hosts — measured 1154 ms/img with 4 writers vs 623 with 1 on the
+    # single-core eval host. Clamp to the spare cores.
+    writers = max(1, min(writers, (os.cpu_count() or 2) - 1))
     q: Queue = Queue(maxsize=max(1, prefetch))
 
     def reader():
@@ -256,16 +266,27 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
         out = os.path.join(out_root, cat_id,
                            f"{cat_id}_{obj}_{view:02d}.obj")
         written.append(out)
-        # keep ALL device work INCLUDING the mesh transfer on this thread:
-        # any device traffic from worker threads (extraction jits, even
-        # plain fetches) contends on the tunnel and measures SLOWER than
-        # strictly sequential (2.3-2.9 s/img vs 0.8). The pool overlaps
-        # only host-side file writes (cheap since the native OBJ formatter).
-        verts, faces = image_to_mesh(params, img, rec.trans_mat, cfg,
-                                     sdf_params=sdf.sdf_params, iso=cfg.iso,
-                                     sparse=sparse)
+        # keep ALL device work INCLUDING the record transfer on this
+        # thread: any device traffic from worker threads (extraction jits,
+        # even plain fetches) contends on the tunnel and measures SLOWER
+        # than strictly sequential (2.3-2.9 s/img vs 0.8). The pool
+        # overlaps only host-side work: native mesh assembly + OBJ write.
+        assemble = None
+        if (sparse and cfg.variant.value != "threedcnn"
+                and cfg.sdf_res % cfg.sparse_stride == 0
+                and img.ndim == 3):
+            assemble = _sparse_fused_mesh(params, img[None], rec.trans_mat,
+                                          sdf.sdf_params, cfg, iso=cfg.iso,
+                                          defer=True)
+        if assemble is None:
+            vol = predict_volume(params, img, rec.trans_mat, sdf.sdf_params,
+                                 cfg, sparse=sparse)
+            mesh_ = volume_to_mesh(vol, sdf.sdf_params, iso=cfg.iso,
+                                   max_tris=cfg.max_triangles)
+            assemble = lambda m=mesh_: m  # noqa: E731
 
-        def write(verts=verts, faces=faces, out=out):
+        def write(assemble=assemble, out=out):
+            verts, faces = assemble()
             codecs.write_obj(out, verts, faces)
 
         futures.append(pool.submit(write))

@@ -1168,16 +1168,17 @@ def extract_mesh_from_ids(vol, sdf_params, ids, n_cells_d, n_cells: int,
     return verts, faces
 
 
-def extract_mesh_records(vol, sdf_params, ids, n_cells: int,
-                         iso: float = 0.0, batch: int = 8192
-                         ) -> tuple[np.ndarray, np.ndarray]:
-    """Record-mode extraction: the device emits slot-dense per-cell records
-    (static shapes — NO count sync), the host fetches three buffers in
-    parallel and assembles the welded mesh natively. Device critical path =
-    one record pass; host assembly overlaps the next image in the eval
-    farm."""
+def extract_mesh_records_deferred(vol, sdf_params, ids, n_cells: int,
+                                  iso: float = 0.0, batch: int = 8192):
+    """Record-mode extraction, split for the eval farm: this call does ALL
+    device work (record pass dispatch + the parallel record fetch — tunnel
+    traffic stays on the caller's thread); the returned zero-argument
+    closure runs only host-side native assembly, so a writer pool can
+    overlap it (and the OBJ write) with the next image's device work."""
+    R = int(vol.shape[0])
     if n_cells == 0:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+        return lambda: (np.zeros((0, 3), np.float32),
+                        np.zeros((0, 3), np.int32))
     n_iter = min(_qbucket(max(1, -(-n_cells // batch))),
                  -(-int(ids.shape[0]) // batch))
     rec_d, tq_d = _extract_records(vol, ids, jnp.int32(n_cells),
@@ -1197,14 +1198,27 @@ def extract_mesh_records(vol, sdf_params, ids, n_cells: int,
     recs = np.asarray(rec_d)
     tq_np = np.concatenate([futs[0].result(), futs[1].result()])
     ids_np = futs[2].result()
-    try:
-        from disn_tpu import native
-        return native.mesh_assemble(ids_np, recs, tq_np, n_cells,
-                                    int(vol.shape[0]),
-                                    np.asarray(sdf_params, np.float32))
-    except (OSError, RuntimeError, CalledProcessError):
-        return assemble_mesh_np(ids_np, recs, tq_np, n_cells,
-                                int(vol.shape[0]), sdf_params)
+
+    def assemble():
+        try:
+            from disn_tpu import native
+            return native.mesh_assemble(ids_np, recs, tq_np, n_cells, R,
+                                        np.asarray(sdf_params, np.float32))
+        except (OSError, RuntimeError, CalledProcessError):
+            return assemble_mesh_np(ids_np, recs, tq_np, n_cells, R,
+                                    sdf_params)
+
+    return assemble
+
+
+def extract_mesh_records(vol, sdf_params, ids, n_cells: int,
+                         iso: float = 0.0, batch: int = 8192
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Record-mode extraction: the device emits slot-dense per-cell records
+    (static shapes — NO count sync), the host fetches three buffers in
+    parallel and assembles the welded mesh natively."""
+    return extract_mesh_records_deferred(vol, sdf_params, ids, n_cells,
+                                         iso=iso, batch=batch)()
 
 
 def extract_mesh_owned(volume, sdf_params, iso: float = 0.0,
