@@ -128,6 +128,11 @@ class Config:
     # ("auto" | "on" | "off"); serves twostream+tf1 inference, exact vs the
     # XLA path (escaped cells are rescued in-jit — see infer/fused.py)
     sparse_stride: int = 4           # fine cells per coarse cell per axis
+    binary_sparse: bool = False      # opt-in: sparse culling for BINARY
+    # heads uses sign-change dilation — heuristic, can miss features
+    # thinner than ~2 coarse cells; default routes binary through the
+    # exact dense path (the reference has no sparse binary either,
+    # test/create_sdf.py:279-285)
     band_factor: float = 1.5         # cull margin x coarse cell diagonal
     # (sound for Lipschitz-1 SDFs at >=1.0; raise for fields with steeper
     # gradients, e.g. sqrt(3) for L1-ball-like nets)

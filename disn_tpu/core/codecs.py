@@ -164,6 +164,9 @@ def read_view_h5(path: str) -> ViewRecord:
 # OBJ meshes
 # --------------------------------------------------------------------------
 
+_WARNED_NATIVE = False
+
+
 def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray | None = None) -> None:
     """Write a triangle mesh (or point cloud when faces is None). Faces are
     0-based in memory, 1-based on disk per the OBJ spec.
@@ -177,14 +180,22 @@ def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray | None = None) 
         os.makedirs(d, exist_ok=True)
     vertices = np.asarray(vertices)
     if len(vertices) > 4096:
+        data = None
         try:
             from disn_tpu import native
             data = native.format_obj(vertices, faces)
+        except Exception as e:  # native build/ABI failure only: the
+            # Python fallback formatter is ~50x slower — say so once
+            global _WARNED_NATIVE
+            if not _WARNED_NATIVE:
+                _WARNED_NATIVE = True
+                print(f"write_obj: native formatter unavailable ({e!r}); "
+                      "falling back to the slow Python writer")
+        if data is not None:
+            # I/O errors must surface, not retry through the slow path
             with open(path, "wb") as f:
                 f.write(data)
             return
-        except Exception:
-            pass  # fall back to the pure-python writer
     lines = [f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}" for v in vertices]
     if faces is not None:
         lines += [f"f {f[0] + 1} {f[1] + 1} {f[2] + 1}" for f in np.asarray(faces)]

@@ -4,9 +4,11 @@ Provides EXACT cell-grouped decoding: the kernel evaluates every cell whose
 projected footprint fits its tile (the overwhelming majority in-frustum);
 the few escaped cells (behind-camera / perspective-flip regions, or synthetic
 cameras whose w=0 plane cuts the box) are re-decoded in the same jit through
-the reference XLA path and scattered over the kernel values. Results are
-therefore bit-identical to infer/dense._decode_block for every cell, always
-— no accuracy/speed trade.
+the reference XLA path and scattered over the kernel values. In f32 results
+are bit-identical to infer/dense._decode_block for every cell (tested); in
+bf16 both paths quantize weights/activations in different orders, so values
+agree within a small tolerance rather than bitwise (tested too) — the same
+class of drift bf16 introduces anywhere.
 
 Used by infer/sparse.py (coarse pass + fine pass) and infer/dense.py (full
 grid as all-cells) when the config resolves to the fold='137' decode
@@ -29,18 +31,27 @@ STRIDE = 4
 K = STRIDE ** 3
 
 
-def kernel_enabled(cfg: Config, fold: str, stride: int, fine_r: int) -> bool:
+def kernel_enabled(cfg: Config, fold: str, stride: int, fine_r: int,
+                   strict: bool = True) -> bool:
     """The kernel path serves twostream+tf1 (fold='137') at stride 4 on
     grids fine enough that a cell's footprint fits a modest tile. It is
-    compiled on TPU and interpreted elsewhere (tests)."""
+    compiled on TPU and interpreted elsewhere (tests).
+
+    fused_kernel='on' RAISES when the main grid is ineligible instead of
+    silently matching 'auto'; pass strict=False for opportunistic
+    sub-checks (e.g. the small coarse pass inside the sparse pipeline)."""
     if cfg.fused_kernel == "off":
         return False
     ok = (fold == "137" and stride == STRIDE and fine_r - 1 >= 48
           and (fine_r - 1) % STRIDE == 0
           and cfg.img_w == 137 and cfg.img_h == 137)
-    if cfg.fused_kernel == "on":
-        return ok
-    return ok  # auto
+    if strict and cfg.fused_kernel == "on" and not ok:
+        raise ValueError(
+            "fused_kernel='on' but the config is ineligible (needs "
+            f"twostream+tf1 fold='137' (got {fold!r}), stride {STRIDE} "
+            f"(got {stride}), grid >= 49 (got {fine_r}), 137x137 images); "
+            "use 'auto' to fall back silently")
+    return ok
 
 
 def tiles_for(fine_r: int) -> tuple[int, int]:

@@ -50,10 +50,11 @@ def predict_volume(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         vals = np.asarray(fwd(params, jnp.asarray(img)))[0]
         r = round(len(vals) ** (1 / 3))
         return vals.reshape(r, r, r)
-    # binary heads route through the sign-change-dilation cull
-    # (sparse._active_cells mode='sign'); regress heads through the sound
-    # Lipschitz band test
-    if sparse and cfg.sdf_res % cfg.sparse_stride == 0:
+    # regress heads route through the SOUND Lipschitz band cull; binary
+    # heads only through the heuristic sign-change-dilation cull when the
+    # user opts in (cfg.binary_sparse) — the default keeps binary exact
+    if sparse and cfg.sdf_res % cfg.sparse_stride == 0 \
+            and (not cfg.binary or cfg.binary_sparse):
         # dynamic two-phase: with the fused kernel the fine pass is cheap
         # enough that sizing it from the synced count beats the full-cap
         # single jit even over the tunnel (167 vs 209 ms at 257^3 on the
@@ -155,7 +156,8 @@ def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     if img.ndim == 3:
         img = img[None]
     if (sparse and cfg.variant.value != "threedcnn"
-            and cfg.sdf_res % cfg.sparse_stride == 0):
+            and cfg.sdf_res % cfg.sparse_stride == 0
+            and (not cfg.binary or cfg.binary_sparse)):
         out = _sparse_fused_mesh(params, img, trans_mat, sdf_params, cfg,
                                  iso)
         if out is not None:
@@ -274,6 +276,7 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
         assemble = None
         if (sparse and cfg.variant.value != "threedcnn"
                 and cfg.sdf_res % cfg.sparse_stride == 0
+                and (not cfg.binary or cfg.binary_sparse)
                 and img.ndim == 3):
             assemble = _sparse_fused_mesh(params, img[None], rec.trans_mat,
                                           sdf.sdf_params, cfg, iso=cfg.iso,
@@ -290,6 +293,10 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
             codecs.write_obj(out, verts, faces)
 
         futures.append(pool.submit(write))
+        # backpressure: each pending future pins ~2-3 MB of record buffers;
+        # bound the backlog instead of growing it for the whole split
+        while len(futures) > 4 * writers + 4:
+            futures.pop(0).result()
         if logger:
             logger.log(f"reconstructed {cat_id}/{obj}/{view}")
     for f in futures:

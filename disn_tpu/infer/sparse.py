@@ -133,7 +133,8 @@ def _sparse_parts(cfg: Config, stride: int, block: int,
     fold = dense_mod.normalize_fold(None, cfg)
     from disn_tpu.infer import fused
     use_kernel_fine = fused.kernel_enabled(cfg, fold, stride, fine_r)
-    use_kernel_coarse = fused.kernel_enabled(cfg, fold, fused.STRIDE, rc)
+    use_kernel_coarse = fused.kernel_enabled(cfg, fold, fused.STRIDE, rc,
+                                             strict=False)
 
     def phase_a(params, img, trans_mat, sdf_params):
         embedding, endpoints = dense_mod._prep(params, img, cfg,

@@ -391,51 +391,6 @@ def extract_mesh_device(volume, sdf_params, iso: float = 0.0,
                               packed=True)
 
 
-def extract_mesh_deferred(volume, sdf_params, iso: float = 0.0,
-                          max_tris: int | None = None, batch: int = 8192):
-    """Eval-farm split of extract_mesh_device: ALL device work (scan, both
-    passes, size syncs, on-device packing) happens in this call on the
-    caller's thread; the returned zero-argument closure only transfers the
-    packed buffer and unpacks on the host, so a writer pool can overlap
-    transfer+IO with the next image's device compute without contending for
-    the chip. Raises ValueError on group-cap overflow like the direct path."""
-    R = volume.shape[0]
-    E = R
-    gcap = max(512, max_tris // 12) if max_tris is not None \
-        else max(512, (E * E) // 4)
-    gcap = min(-(-gcap // 128) * 128, -(-((E + 3) // 4) ** 3 // 128) * 128)
-    vol = jnp.asarray(volume, jnp.float32)
-    ids, n_cells_d, g_over = _active_cells_ext(vol, float(iso), gcap)
-    n_cells, gov = (int(x) for x in jax.device_get((n_cells_d, g_over)))
-    if gov > 0:
-        raise ValueError(f"active-cell group overflow: cap {gcap}")
-    if n_cells == 0:
-        return lambda: (np.zeros((0, 3), np.float32),
-                        np.zeros((0, 3), np.int32))
-    n_iter = min(_qbucket(max(1, -(-n_cells // batch))),
-                 -(-gcap * 64 // batch))
-    sp = jnp.asarray(sdf_params, jnp.float32)
-    verts_d, nv_d, faces_d, ntri_d = _extract_owned(
-        vol, sp, ids, n_cells_d, iso=float(iso), n_iter=n_iter, batch=batch)
-    nv, ntri = (int(x) for x in jax.device_get((nv_d, ntri_d)))
-    vb = min(_qbucket(max(nv, 1)), verts_d.shape[0])
-    tb = min(_qbucket(max(ntri, 1)), faces_d.shape[0])
-    if nv < (1 << _PACK_F0):
-        buf_d = _pack_mesh(verts_d, faces_d, sp, vb, tb)
-        sdf_np = np.asarray(sdf_params)
-
-        def fetch():
-            return _unpack_mesh(_fetch_parallel(buf_d), sdf_np, vb, tb, nv,
-                                ntri)
-    else:
-        vd = _slice_rows(verts_d, vb)
-        fd = _slice_rows(faces_d, tb)
-
-        def fetch():
-            return _fetch_parallel(vd)[:nv], _fetch_parallel(fd)[:ntri]
-    return fetch
-
-
 def extract_mesh_device_sorted(volume, sdf_params, iso: float = 0.0,
                                max_tris: int | None = None
                                ) -> tuple[np.ndarray, np.ndarray]:
@@ -903,6 +858,20 @@ def _slice_span(buf, lo: int, hi: int):
 
 
 _FETCH_POOL = None
+_FETCH_POOL_LOCK = None
+
+
+def _get_fetch_pool():
+    global _FETCH_POOL, _FETCH_POOL_LOCK
+    if _FETCH_POOL is None:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+        if _FETCH_POOL_LOCK is None:
+            _FETCH_POOL_LOCK = threading.Lock()
+        with _FETCH_POOL_LOCK:
+            if _FETCH_POOL is None:
+                _FETCH_POOL = ThreadPoolExecutor(4)
+    return _FETCH_POOL
 
 
 def _fetch_parallel(buf_d, parts: int = 4) -> np.ndarray:
@@ -910,17 +879,14 @@ def _fetch_parallel(buf_d, parts: int = 4) -> np.ndarray:
     tunnel serializes a single array fetch at ~22 MB/s but sustains ~52 MB/s
     across >=4 concurrent streams (measured; x2 does not help). Slice bounds
     are static per bucketed shape, so the tiny slice jits cache."""
-    global _FETCH_POOL
     n = int(buf_d.shape[0])
     if n < 1 << 18:  # small: RTT-bound, one stream
         return np.asarray(buf_d)
-    if _FETCH_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-        _FETCH_POOL = ThreadPoolExecutor(4)
+    pool = _get_fetch_pool()
     bounds = [i * n // parts for i in range(parts)] + [n]
     slices = [_slice_span(buf_d, bounds[i], bounds[i + 1])
               for i in range(parts)]
-    out = list(_FETCH_POOL.map(np.asarray, slices))
+    out = list(pool.map(np.asarray, slices))
     return np.concatenate(out)
 
 
@@ -1142,8 +1108,8 @@ def _norm_gcap(E: int, gcap: int | None) -> int:
 
 
 def extract_mesh_from_ids(vol, sdf_params, ids, n_cells_d, n_cells: int,
-                          iso: float = 0.0, gcap: int = 0, batch: int = 8192,
-                          packed: bool = True
+                          iso: float = 0.0, gcap: int | None = None,
+                          batch: int = 8192, packed: bool = True
                           ) -> tuple[np.ndarray, np.ndarray]:
     """Owned-edge extraction given a PRECOMPUTED active-cell list (e.g. the
     one the sparse inference pass emits in the same jit as the volume —
@@ -1151,12 +1117,19 @@ def extract_mesh_from_ids(vol, sdf_params, ids, n_cells_d, n_cells: int,
     _active_cells_ext's: [gcap*64] flat over the extended E^3 cell grid."""
     if n_cells == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    if gcap is None:
+        gcap = _norm_gcap(int(vol.shape[0]), None)
     n_iter = min(_qbucket(max(1, -(-n_cells // batch))),
                  -(-gcap * 64 // batch))
     verts_d, nv_d, faces_d, ntri_d = _extract_owned(
         vol, jnp.asarray(sdf_params, jnp.float32), ids, n_cells_d,
         iso=float(iso), n_iter=n_iter, batch=batch)
     nv, ntri = (int(x) for x in jax.device_get((nv_d, ntri_d)))
+    if nv >= (1 << (31 - 13)):
+        # pass 2 packs vstart * 2^D (D <= 13) into int32; beyond this the
+        # face indices would silently wrap — refuse rather than corrupt
+        raise ValueError(f"mesh too large for the owned extractor: {nv} "
+                         "vertices (int32 vstart packing)")
     vb = min(_qbucket(max(nv, 1)), verts_d.shape[0])
     tb = min(_qbucket(max(ntri, 1)), faces_d.shape[0])
     if packed and nv < (1 << _PACK_F0):
@@ -1186,15 +1159,12 @@ def extract_mesh_records_deferred(vol, sdf_params, ids, n_cells: int,
                                    batch=batch)
     S = n_iter * batch
     ids_s = _slice_rows(ids, S)
-    global _FETCH_POOL
-    if _FETCH_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-        _FETCH_POOL = ThreadPoolExecutor(4)
+    pool = _get_fetch_pool()
     # 4 concurrent streams (tq split + ids + recs): the tunnel sustains
     # ~52 MB/s across streams vs ~22 on one
     tq_a = _slice_span(tq_d, 0, S // 2)
     tq_b = _slice_span(tq_d, S // 2, S)
-    futs = [_FETCH_POOL.submit(np.asarray, x) for x in (tq_a, tq_b, ids_s)]
+    futs = [pool.submit(np.asarray, x) for x in (tq_a, tq_b, ids_s)]
     recs = np.asarray(rec_d)
     tq_np = np.concatenate([futs[0].result(), futs[1].result()])
     ids_np = futs[2].result()

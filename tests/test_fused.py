@@ -104,3 +104,28 @@ def test_sparse_kernel_path_matches_xla_path():
     b = sparse.sparse_dense_sdf(params, img, TRANS, GEOM, cfg_off,
                                 stride=4, block=512)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_decode_cells_bf16_close_to_xla_bf16():
+    """In bf16 (the production dtype) the kernel and the XLA path round
+    independently (bilinear weights and activations quantize to 8 mantissa
+    bits on both sides, in different orders): values must agree within a
+    small tolerance — the f32 tests pin exactness, this pins the bf16
+    drift stays bounded."""
+    cfg = Config(num_classes=32, width_mult=0.125, sdf_res=FINE_R - 1,
+                 compute_dtype="bfloat16", sampling="tf1")
+    params = disn.init(cfg, jax.random.PRNGKey(0))
+    img = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
+                                        (1, 137, 137, 3)), np.float32)
+    prep = jax.jit(functools.partial(dense._prep, cfg=cfg,
+                                     fold_local="137"))
+    emb, eps = prep(params, jnp.asarray(img))
+    cells = np.arange(0, COARSE_C ** 3, 7, dtype=np.int32)[:256]
+    vals, esc = fused.decode_cells(params, eps, jnp.asarray(TRANS),
+                                   jnp.asarray(GEOM), jnp.asarray(cells),
+                                   cfg, fine_r=FINE_R, coarse_c=COARSE_C)
+    want = _oracle(cfg, params, eps, cells)
+    got = np.asarray(vals)
+    scale = max(1e-3, np.abs(want).max())
+    assert np.abs(got - want).max() <= 0.02 * scale
+    assert np.abs(got - want).mean() <= 0.003 * scale

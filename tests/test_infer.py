@@ -299,7 +299,8 @@ def test_image_to_mesh_fused_matches_unfused():
                                     compute_dtype="float32", binary=binary)
         # at 8^3 coarse cells the binary sign-dilation marks >25% of cells;
         # raise the cap so the sparse path engages instead of falling back
-        cfg = cfg.replace(cell_cap_frac=0.9)
+        # (binary_sparse: the heuristic binary cull is opt-in)
+        cfg = cfg.replace(cell_cap_frac=0.9, binary_sparse=True)
         params = synthetic.analytic_octahedron_params(cfg, r=0.6)
         img = np.random.RandomState(0).rand(1, 137, 137, 3).astype(np.float32)
         trans = synthetic.demo_trans_mat()
@@ -325,6 +326,7 @@ def test_binary_sparse_matches_dense():
 
     cfg = synthetic.tiny_config(sdf_res=32, num_classes=32, width_mult=0.125,
                                 compute_dtype="float32", binary=True)
+    cfg = cfg.replace(binary_sparse=True)  # heuristic cull is OPT-IN
     params = synthetic.analytic_octahedron_params(cfg, r=0.6)
     img = np.random.RandomState(0).rand(1, 137, 137, 3).astype(np.float32)
     trans = synthetic.demo_trans_mat()
