@@ -315,6 +315,36 @@ def test_image_to_mesh_fused_matches_unfused():
         np.testing.assert_array_equal(fused[1], want[1])
 
 
+def test_boundary_crossing_sparse_mesh_matches_dense():
+    """A surface CUT by the volume boundary (octahedron r=1.4 > box): the
+    sparse path must decode the boundary planes exactly (the plane-skip
+    cond takes the decode branch) and the extracted mesh must equal the
+    dense-volume mesh, ghost cells included. r=1.05 keeps the active band
+    under the cell cap (1.2+ overflows to the dense fallback — also fine,
+    but then this test would not exercise the sparse boundary path)."""
+    import numpy as np
+    from disn_tpu.data import synthetic
+    from disn_tpu.infer import pipeline
+    from disn_tpu.ops import marching
+
+    cfg = synthetic.tiny_config(sdf_res=32, num_classes=32, width_mult=0.125,
+                                compute_dtype="float32")
+    cfg = cfg.replace(cell_cap_frac=0.9)  # boundary band is wide at 8^3
+    params = synthetic.analytic_octahedron_params(cfg, r=1.05)
+    img = np.random.RandomState(0).rand(1, 137, 137, 3).astype(np.float32)
+    trans = synthetic.demo_trans_mat()
+    sdfp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    vol_d = np.asarray(pipeline.predict_volume(params, img, trans, sdfp, cfg,
+                                               sparse=False))
+    dv, df = marching.extract_mesh_owned(vol_d, sdfp)
+    assert len(df) > 0
+    fused = pipeline._sparse_fused_mesh(params, img, trans, sdfp, cfg,
+                                        iso=cfg.iso)
+    assert fused is not None
+    np.testing.assert_array_equal(fused[1], df)
+    np.testing.assert_allclose(fused[0], dv, atol=2e-5)
+
+
 def test_binary_sparse_matches_dense():
     """Binary variant through the sign-change-dilation sparse path: same
     extracted surface as the dense path (the far field differs by
