@@ -77,7 +77,10 @@ def mesh_assemble(ids: np.ndarray, recs: np.ndarray, tq: np.ndarray,
     D = len(pair_i)
     ids = np.ascontiguousarray(ids[:n_cells], np.int32)
     recs = np.ascontiguousarray(recs[:n_cells], np.uint32)
-    tq = np.ascontiguousarray(tq[:n_cells], np.uint16)
+    tq = np.asarray(tq[:n_cells])
+    if tq.dtype == np.uint8:  # exact u8 range map (see marching._tq_bits)
+        tq = tq.astype(np.uint16) * np.uint16(257)
+    tq = np.ascontiguousarray(tq, np.uint16)
     i32c = lambda a: np.ascontiguousarray(a, np.int32)  # noqa: E731
     # named so the arrays outlive the raw pointers passed to C
     tables = [i32c(pair_i), i32c(pair_j), i32c(CORNERS), i32c(TETS),

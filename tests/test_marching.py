@@ -322,6 +322,23 @@ def test_sharded_records_match_single():
     assert np.abs(av - ev).max() <= (2.0 / 32) / 65535 + 1e-6
 
 
+def test_records_u8_quantization_at_production_scale():
+    """R >= 129 switches the edge-t transfer to u8 (see _tq_bits): faces
+    stay EXACTLY equal to the owned path; vertices move <= cell/255."""
+    import jax.numpy as jnp
+
+    R = 129
+    assert marching._tq_bits(R) == 8 and marching._tq_bits(33) == 16
+    vol = sphere_volume(R=R)
+    ev, ef = marching.extract_mesh_owned(vol, PARAMS)
+    gcap = marching._norm_gcap(R, None)
+    vold = jnp.asarray(vol, jnp.float32)
+    ids, ncd, gov = marching._active_cells_ext(vold, 0.0, gcap)
+    rv, rf = marching.extract_mesh_records(vold, PARAMS, ids, int(ncd))
+    np.testing.assert_array_equal(rf, ef)
+    assert np.abs(rv - ev).max() <= (2.0 / (R - 1)) / 255 + 1e-6
+
+
 def test_extract_mesh_records_wrapper():
     """The full record-mode wrapper (parallel fetch + native-or-numpy
     assembly) against the owned path."""
