@@ -72,6 +72,25 @@ def apply(params: dict, img: jnp.ndarray, compute_dtype=jnp.float32
                               compute_dtype=compute_dtype)
             endpoints[name] = x
         x = layers.max_pool2d(x)
+    kh, kw = params["fc6"]["weights"].shape[:2]
+    if x.shape[1] == kh and x.shape[2] == kw:
+        # the 7x7 VALID 'conv' collapses to ONE matmul: flatten (h,w,c) in
+        # HWIO order. XLA's conv lowering leaves ~25x on the table for this
+        # B=1 degenerate case on TPU (measured ~8 ms vs the 205 MB weight
+        # read it actually is).
+        b = x.shape[0]
+        w6 = params["fc6"]["weights"].reshape(-1,
+                                              params["fc6"]["weights"]
+                                              .shape[-1])
+        h = layers.dense({"weights": w6, "biases": params["fc6"]["biases"]},
+                         x.reshape(b, -1), compute_dtype=compute_dtype)
+        h = layers.dense({"weights": params["fc7"]["weights"][0, 0],
+                          "biases": params["fc7"]["biases"]}, h,
+                         compute_dtype=compute_dtype)
+        h = layers.dense({"weights": params["fc8"]["weights"][0, 0],
+                          "biases": params["fc8"]["biases"]}, h, relu=False,
+                         compute_dtype=compute_dtype)
+        return h, endpoints
     x = layers.conv2d(params["fc6"], x, padding="VALID",
                       compute_dtype=compute_dtype)
     x = layers.conv2d(params["fc7"], x, compute_dtype=compute_dtype)
