@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import struct
+import sys
 from dataclasses import dataclass
 
 import numpy as np
@@ -189,8 +190,11 @@ def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray | None = None) 
             global _WARNED_NATIVE
             if not _WARNED_NATIVE:
                 _WARNED_NATIVE = True
+                # stderr: callers (bench.py) have a machine-readable
+                # stdout contract a stray warning would corrupt
                 print(f"write_obj: native formatter unavailable ({e!r}); "
-                      "falling back to the slow Python writer")
+                      "falling back to the slow Python writer",
+                      file=sys.stderr)
         if data is not None:
             # I/O errors must surface, not retry through the slow path
             with open(path, "wb") as f:

@@ -84,14 +84,40 @@ def volume_to_mesh(vol: np.ndarray, sdf_params: np.ndarray, iso: float = 0.0,
     return verts, faces
 
 
+# last actual (n_blocks, n_iter) per config: the speculative dispatch
+# predicts the next image's buckets from these (bench repeats one shape;
+# consecutive farm images bucket identically most of the time)
+_SPEC_CACHE: dict = {}
+
+
+def _fused_bcap(n_blocks: int, sizes: dict) -> int:
+    """Candidate-block cap for the extraction scan: active cells (<= the
+    fine-pass bucket) + a ghost margin; derived from n_blocks so a
+    predicted n_blocks implies its (consistent) bcap."""
+    n_kcells = n_blocks * sizes["cells_per_block"]
+    return -(-(n_kcells + max(1024, n_kcells // 4)) // 256) * 256
+
+
 def _sparse_fused_mesh(params: Params, img: np.ndarray,
                        trans_mat: np.ndarray, sdf_params: np.ndarray,
                        cfg: Config, iso: float, block: int = 65536,
                        defer: bool = False
                        ) -> tuple[np.ndarray, np.ndarray] | None:
     """Production fast path: sparse two-phase inference with the mesh
-    extractor's active-cell scan fused into phase_b (one jit, one shared
-    host sync) — the volume never triggers a standalone scan round trip.
+    extractor's active-cell scan fused into phase_b (one jit) — the volume
+    never triggers a standalone scan round trip.
+
+    SPECULATIVE DISPATCH (round 3): phase-b's block bucket and the record
+    pass's iteration bucket are data-dependent, but OVER-prediction is
+    always sound (padded slots mask out against the device-resident
+    counts), so when a previous image's buckets are cached the whole chain
+    phase-a -> phase-b+scan -> record pass is dispatched back-to-back with
+    NO intervening host sync; all five scalars and the record buffers ride
+    ONE shared round trip (scalar get + 4 fetch streams in parallel). A
+    mispredicted-under bucket is detected from the synced scalars and only
+    the affected stage re-runs at the exact bucket. This removes 2 of the
+    3 tunnel RTTs of the round-2 pipeline (~25 ms each on the axon link).
+
     Returns None when a fallback condition fires (cap overflow / fused-
     kernel escape overflow); the caller then runs the exact unfused path.
     defer=True returns a zero-argument closure running only host-side
@@ -101,46 +127,100 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
 
     from disn_tpu.ops import marching as marching_mod
 
+    stride = cfg.sparse_stride
     sizes, _, _ = sparse_mod._sparse_parts(
-        cfg, cfg.sparse_stride, block, cfg.cell_cap_frac, cfg.band_factor)
-    pa = sparse_mod._phase_a_jit(cfg, cfg.sparse_stride, block,
+        cfg, stride, block, cfg.cell_cap_frac, cfg.band_factor)
+    pa = sparse_mod._phase_a_jit(cfg, stride, block,
                                  cfg.cell_cap_frac, cfg.band_factor)
     embedding, endpoints, vol_c, cell_ids, count, esc_a = pa(
         params, jnp.asarray(img), jnp.asarray(trans_mat),
         jnp.asarray(sdf_params))
-    # ONE round trip for both phase-a scalars
-    c, ea = (int(x) for x in jax.device_get((count, esc_a)))
-    if c > sizes["cell_cap"] or ea > 0:
-        return None
-    n_blocks = min(sizes["max_blocks"],
+    R = cfg.grid_resolution
+    batch = 8192
+    key = (cfg, float(iso), block)
+    pred = _SPEC_CACHE.get(key)
+
+    def run_pbm(n_blocks):
+        pbm = sparse_mod._phase_b_mesh_jit(
+            cfg, stride, block, cfg.cell_cap_frac, cfg.band_factor,
+            n_blocks, float(iso), _fused_bcap(n_blocks, sizes))
+        return pbm(params, embedding, endpoints, vol_c, cell_ids, count,
+                   jnp.asarray(trans_mat), jnp.asarray(sdf_params))
+
+    def needed_blocks(c):
+        return min(sizes["max_blocks"],
                    sparse_mod._pow2(max(1, -(-c // sizes["cells_per_block"]))))
-    # candidate-block cap: active cells (<= the fine-pass bucket) + a ghost
-    # margin; overflow falls back to the full-volume scan below
-    n_kcells = n_blocks * sizes["cells_per_block"]
-    bcap = -(-(n_kcells + max(1024, n_kcells // 4)) // 256) * 256
-    pbm = sparse_mod._phase_b_mesh_jit(
-        cfg, cfg.sparse_stride, block, cfg.cell_cap_frac, cfg.band_factor,
-        n_blocks, float(iso), bcap)
-    vol, esc_b, ids, ncd, gov_d = pbm(
-        params, embedding, endpoints, vol_c, cell_ids, count,
-        jnp.asarray(trans_mat), jnp.asarray(sdf_params))
-    eb, nc, gov = (int(x) for x in jax.device_get((esc_b, ncd, gov_d)))
-    if eb > 0:
-        return None
-    if gov > 0:
-        # high-genus group-cap overflow: rescan the (already computed)
-        # volume at the configured ceiling
-        mt = cfg.max_triangles
-        mesh_ = marching_mod.extract_mesh_owned(
-            vol, sdf_params, iso=iso,
-            gcap=None if mt is None else max(512, mt // 12), packed=True)
-        return (lambda: mesh_) if defer else mesh_
-    # record mode: slot-dense records (static shapes, no further count
-    # syncs) fetched in parallel streams; verts+faces assembled natively on
-    # the host off the device critical path
-    fetch = marching_mod.extract_mesh_records_deferred(
-        vol, sdf_params, ids, nc, iso=iso)
-    return fetch if defer else fetch()
+
+    futs = None
+    if pred is not None:
+        nb_p, ni_p = pred
+        vol, esc_b, ids, ncd, gov_d = run_pbm(nb_p)
+        ni_p, batch_p = marching_mod.records_n_iter(
+            int(ids.shape[0]), ni_p * batch, batch)
+        rec_d, tq_d, ids_s = marching_mod.records_dispatch(
+            vol, ids, ncd, iso=iso, n_iter=ni_p, batch=batch_p)
+        # the 4 record fetch streams ride the SAME round trip as the
+        # scalar sync below (they run on the fetch pool's threads)
+        futs = marching_mod.records_start_fetch(rec_d, tq_d, ids_s)
+        c, ea, eb, nc, gov = (int(x) for x in jax.device_get(
+            (count, esc_a, esc_b, ncd, gov_d)))
+        if c > sizes["cell_cap"] or ea > 0:
+            return None
+        nb = needed_blocks(c)
+        _SPEC_CACHE[key] = (nb, marching_mod.records_n_iter(
+            int(ids.shape[0]), nc, batch)[0])
+        if nb_p >= nb:
+            # prediction covered the work: the speculative results are the
+            # exact results (padded slots were masked in-kernel)
+            if eb > 0:
+                return None
+            if gov <= 0:
+                if ni_p * batch_p >= nc:
+                    fetch = marching_mod.records_finish(
+                        futs, sdf_params, nc, R)
+                    return fetch if defer else fetch()
+                # record bucket under-predicted: re-run ONLY the record
+                # pass at the exact bucket (ids/vol still on device)
+                fetch = marching_mod.extract_mesh_records_deferred(
+                    vol, sdf_params, ids, nc, iso=iso)
+                return fetch if defer else fetch()
+            # gov > 0 with a consistent bcap: genuine group overflow ->
+            # full-volume rescan fallback below
+        else:
+            # under-predicted block bucket: phase-b covered only part of
+            # the active set — re-run it at the exact bucket
+            vol, esc_b, ids, ncd, gov_d = run_pbm(nb)
+            eb, nc, gov = (int(x) for x in jax.device_get(
+                (esc_b, ncd, gov_d)))
+            if eb > 0:
+                return None
+            if gov <= 0:
+                fetch = marching_mod.extract_mesh_records_deferred(
+                    vol, sdf_params, ids, nc, iso=iso)
+                return fetch if defer else fetch()
+    else:
+        # no prediction yet: sequential two-sync flow, seeding the cache
+        c, ea = (int(x) for x in jax.device_get((count, esc_a)))
+        if c > sizes["cell_cap"] or ea > 0:
+            return None
+        nb = needed_blocks(c)
+        vol, esc_b, ids, ncd, gov_d = run_pbm(nb)
+        eb, nc, gov = (int(x) for x in jax.device_get((esc_b, ncd, gov_d)))
+        _SPEC_CACHE[key] = (nb, marching_mod.records_n_iter(
+            int(ids.shape[0]), nc, batch)[0])
+        if eb > 0:
+            return None
+        if gov <= 0:
+            fetch = marching_mod.extract_mesh_records_deferred(
+                vol, sdf_params, ids, nc, iso=iso)
+            return fetch if defer else fetch()
+    # high-genus group-cap overflow: rescan the (already computed) volume
+    # at the configured ceiling
+    mt = cfg.max_triangles
+    mesh_ = marching_mod.extract_mesh_owned(
+        vol, sdf_params, iso=iso,
+        gcap=None if mt is None else max(512, mt // 12), packed=True)
+    return (lambda: mesh_) if defer else mesh_
 
 
 def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,
@@ -226,8 +306,8 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
     stripes over (shard_index, shard_count) so independent hosts/chips each
     own a disjoint slice (README.md:104-110's manual per-GPU scale-out,
     made a parameter)."""
-    from queue import Queue
-    from threading import Thread
+    from queue import Empty, Queue
+    from threading import Event, Thread
 
     my_list = [t for i, t in enumerate(listinfo)
                if i % shard_count == shard_index]
@@ -239,14 +319,21 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
     writers = max(1, min(writers, (os.cpu_count() or 2) - 1))
     q: Queue = Queue(maxsize=max(1, prefetch))
 
+    stop = Event()
+
     def reader():
         for cat_id, obj, view in my_list:
+            if stop.is_set():
+                break
             try:
                 rec = codecs.read_view_h5(paths.img_path(cat_id, obj, view))
                 sdf = codecs.read_sdf_h5(paths.sdf_path(cat_id, obj))
                 q.put((cat_id, obj, view, rec, sdf))
-            except Exception as e:  # surface to the consumer, keep order
+            except Exception as e:  # surface to the consumer and STOP:
+                # the main thread re-raises, so reading on would park this
+                # thread forever on the bounded queue, pinning h5 buffers
                 q.put(e)
+                return
         q.put(None)
 
     t = Thread(target=reader, daemon=True)
@@ -254,53 +341,66 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
     pool = ThreadPoolExecutor(writers)
     futures = []
     written = []
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, Exception):
-            pool.shutdown(wait=False)
-            raise item
-        cat_id, obj, view, rec, sdf = item
-        img = rec.img_arr[:, :, :cfg.img_channels].astype(np.float32) / 255.0
-        # two-digit view id like the reference output tree
-        # (test/create_sdf.py:311, view ids from the NN.h5 stems)
-        out = os.path.join(out_root, cat_id,
-                           f"{cat_id}_{obj}_{view:02d}.obj")
-        written.append(out)
-        # keep ALL device work INCLUDING the record transfer on this
-        # thread: any device traffic from worker threads (extraction jits,
-        # even plain fetches) contends on the tunnel and measures SLOWER
-        # than strictly sequential (2.3-2.9 s/img vs 0.8). The pool
-        # overlaps only host-side work: native mesh assembly + OBJ write.
-        assemble = None
-        if (sparse and cfg.variant.value != "threedcnn"
-                and cfg.sdf_res % cfg.sparse_stride == 0
-                and (not cfg.binary or cfg.binary_sparse)
-                and img.ndim == 3):
-            assemble = _sparse_fused_mesh(params, img[None], rec.trans_mat,
-                                          sdf.sdf_params, cfg, iso=cfg.iso,
-                                          defer=True)
-        if assemble is None:
-            vol = predict_volume(params, img, rec.trans_mat, sdf.sdf_params,
-                                 cfg, sparse=sparse)
-            mesh_ = volume_to_mesh(vol, sdf.sdf_params, iso=cfg.iso,
-                                   max_tris=cfg.max_triangles)
-            assemble = lambda m=mesh_: m  # noqa: E731
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            cat_id, obj, view, rec, sdf = item
+            img = (rec.img_arr[:, :, :cfg.img_channels]
+                   .astype(np.float32) / 255.0)
+            # two-digit view id like the reference output tree
+            # (test/create_sdf.py:311, view ids from the NN.h5 stems)
+            out = os.path.join(out_root, cat_id,
+                               f"{cat_id}_{obj}_{view:02d}.obj")
+            written.append(out)
+            # keep ALL device work INCLUDING the record transfer on this
+            # thread: any device traffic from worker threads (extraction
+            # jits, even plain fetches) contends on the tunnel and measures
+            # SLOWER than strictly sequential (2.3-2.9 s/img vs 0.8). The
+            # pool overlaps only host work: native assembly + OBJ write.
+            assemble = None
+            if (sparse and cfg.variant.value != "threedcnn"
+                    and cfg.sdf_res % cfg.sparse_stride == 0
+                    and (not cfg.binary or cfg.binary_sparse)
+                    and img.ndim == 3):
+                assemble = _sparse_fused_mesh(params, img[None],
+                                              rec.trans_mat,
+                                              sdf.sdf_params, cfg,
+                                              iso=cfg.iso, defer=True)
+            if assemble is None:
+                vol = predict_volume(params, img, rec.trans_mat,
+                                     sdf.sdf_params, cfg, sparse=sparse)
+                mesh_ = volume_to_mesh(vol, sdf.sdf_params, iso=cfg.iso,
+                                       max_tris=cfg.max_triangles)
+                assemble = lambda m=mesh_: m  # noqa: E731
 
-        def write(assemble=assemble, out=out):
-            verts, faces = assemble()
-            codecs.write_obj(out, verts, faces)
+            def write(assemble=assemble, out=out):
+                verts, faces = assemble()
+                codecs.write_obj(out, verts, faces)
 
-        futures.append(pool.submit(write))
-        # backpressure: each pending future pins ~2-3 MB of record buffers;
-        # bound the backlog instead of growing it for the whole split
-        while len(futures) > 4 * writers + 4:
-            futures.pop(0).result()
-        if logger:
-            logger.log(f"reconstructed {cat_id}/{obj}/{view}")
-    for f in futures:
-        f.result()
-    pool.shutdown()
-    t.join()
+            futures.append(pool.submit(write))
+            # backpressure: each pending future pins ~2-3 MB of record
+            # buffers; bound the backlog, don't grow it for the split
+            while len(futures) > 4 * writers + 4:
+                futures.pop(0).result()
+            if logger:
+                logger.log(f"reconstructed {cat_id}/{obj}/{view}")
+        for f in futures:
+            f.result()
+    finally:
+        stop.set()
+        # unblock a reader parked on the full queue, then join it —
+        # otherwise it pins h5 record buffers for the process lifetime
+        while t.is_alive():
+            try:
+                q.get(timeout=0.1)
+            except Empty:
+                pass
+        t.join()
+        # wait: abandoning in-flight OBJ writes would leave truncated
+        # files; the backpressure bound keeps the backlog small
+        pool.shutdown(wait=True)
     return written

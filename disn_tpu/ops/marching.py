@@ -25,6 +25,7 @@ hand-typed-table errors classic MC implementations suffer.
 from __future__ import annotations
 
 import functools
+import threading
 from subprocess import CalledProcessError
 
 import jax
@@ -858,19 +859,17 @@ def _slice_span(buf, lo: int, hi: int):
 
 
 _FETCH_POOL = None
-_FETCH_POOL_LOCK = None
+_FETCH_POOL_LOCK = threading.Lock()  # module-import time: no race on the
+# lock itself (double-checked locking on a lazily-created lock can leak a
+# second pool's threads)
 
 
 def _get_fetch_pool():
-    global _FETCH_POOL, _FETCH_POOL_LOCK
-    if _FETCH_POOL is None:
-        import threading
-        from concurrent.futures import ThreadPoolExecutor
-        if _FETCH_POOL_LOCK is None:
-            _FETCH_POOL_LOCK = threading.Lock()
-        with _FETCH_POOL_LOCK:
-            if _FETCH_POOL is None:
-                _FETCH_POOL = ThreadPoolExecutor(4)
+    global _FETCH_POOL
+    with _FETCH_POOL_LOCK:
+        if _FETCH_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+            _FETCH_POOL = ThreadPoolExecutor(4)
     return _FETCH_POOL
 
 
@@ -1114,6 +1113,19 @@ def assemble_mesh_np(ids: np.ndarray, recs: np.ndarray, tqs: np.ndarray,
     return verts, faces
 
 
+def _fit_batch(ids_len: int, batch: int) -> int:
+    """Largest batch <= `batch` that divides the cell-id buffer length.
+    _extract_records/_extract_owned slice cell_ids at i*batch with a
+    CLAMPING dynamic_slice: a final partial batch would silently re-read
+    shifted cells whose slot indices then disagree with the assembler
+    (ids buffers are bcap*64 or bcap*8 with bcap a multiple of 128, so
+    halving from 8192 terminates at a real divisor almost immediately)."""
+    batch = max(1, min(batch, ids_len))
+    while ids_len % batch:
+        batch //= 2
+    return batch
+
+
 def _norm_gcap(E: int, gcap: int | None) -> int:
     if gcap is None:
         # surfaces cross O(R^2) cells, ~1/4 of a crossed 4^3 group's cells
@@ -1133,15 +1145,18 @@ def extract_mesh_from_ids(vol, sdf_params, ids, n_cells_d, n_cells: int,
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
     if gcap is None:
         gcap = _norm_gcap(int(vol.shape[0]), None)
+    batch = _fit_batch(int(ids.shape[0]), batch)
     n_iter = min(_qbucket(max(1, -(-n_cells // batch))),
-                 -(-gcap * 64 // batch))
+                 int(ids.shape[0]) // batch)
     verts_d, nv_d, faces_d, ntri_d = _extract_owned(
         vol, jnp.asarray(sdf_params, jnp.float32), ids, n_cells_d,
         iso=float(iso), n_iter=n_iter, batch=batch)
     nv, ntri = (int(x) for x in jax.device_get((nv_d, ntri_d)))
-    if nv >= (1 << (31 - 13)):
-        # pass 2 packs vstart * 2^D (D <= 13) into int32; beyond this the
-        # face indices would silently wrap — refuse rather than corrupt
+    D = len(_owned_tables()[0])
+    if nv >= (1 << (31 - D)):
+        # pass 2 packs vstart * 2^D into int32; beyond this the face
+        # indices would silently wrap — refuse rather than corrupt
+        # (derived D == 7 -> safe to 2^24 = 16.7M vertices)
         raise ValueError(f"mesh too large for the owned extractor: {nv} "
                          "vertices (int32 vstart packing)")
     vb = min(_qbucket(max(nv, 1)), verts_d.shape[0])
@@ -1155,37 +1170,51 @@ def extract_mesh_from_ids(vol, sdf_params, ids, n_cells_d, n_cells: int,
     return verts, faces
 
 
-def extract_mesh_records_deferred(vol, sdf_params, ids, n_cells: int,
-                                  iso: float = 0.0, batch: int = 8192):
-    """Record-mode extraction, split for the eval farm: this call does ALL
-    device work (record pass dispatch + the parallel record fetch — tunnel
-    traffic stays on the caller's thread); the returned zero-argument
-    closure runs only host-side native assembly, so a writer pool can
-    overlap it (and the OBJ write) with the next image's device work."""
-    R = int(vol.shape[0])
-    if n_cells == 0:
-        return lambda: (np.zeros((0, 3), np.float32),
-                        np.zeros((0, 3), np.int32))
-    n_iter = min(_qbucket(max(1, -(-n_cells // batch))),
-                 -(-int(ids.shape[0]) // batch))
-    rec_d, tq_d = _extract_records(vol, ids, jnp.int32(n_cells),
-                                   iso=float(iso), n_iter=n_iter,
-                                   batch=batch)
-    S = n_iter * batch
-    ids_s = _slice_rows(ids, S)
+def records_n_iter(ids_len: int, n_cells: int, batch: int
+                   ) -> tuple[int, int]:
+    """(n_iter, fitted batch) for a record pass over the first n_cells of
+    an ids buffer (qbucket-bucketed so repeated sizes reuse compiles)."""
+    batch = _fit_batch(ids_len, batch)
+    n_iter = min(_qbucket(max(1, -(-n_cells // batch))), ids_len // batch)
+    return n_iter, batch
+
+
+def records_dispatch(vol, ids, n_cells_d, *, iso: float, n_iter: int,
+                     batch: int):
+    """Dispatch-only record pass: n_cells may be a DEVICE scalar (slots
+    past it mask out in-kernel), so this can launch speculatively at a
+    predicted n_iter before any host sync — over-sized n_iter is always
+    sound, under-sized only loses coverage of slots >= n_iter*batch (the
+    caller re-dispatches at the exact bucket on that rare miss)."""
+    rec_d, tq_d = _extract_records(vol, ids, n_cells_d, iso=float(iso),
+                                   n_iter=n_iter, batch=batch)
+    ids_s = _slice_rows(ids, n_iter * batch)
+    return rec_d, tq_d, ids_s
+
+
+def records_start_fetch(rec_d, tq_d, ids_s):
+    """Start the device->host record transfer on the shared fetch pool: 4
+    concurrent streams (tq split + ids + recs — the tunnel sustains
+    ~52 MB/s across >=4 streams vs ~22 on one). Returns futures; the
+    caller's thread is free to ride its own round trip (scalar sync)
+    concurrently."""
+    S = int(ids_s.shape[0])
     pool = _get_fetch_pool()
-    # 4 concurrent streams (tq split + ids + recs): the tunnel sustains
-    # ~52 MB/s across streams vs ~22 on one
     tq_a = _slice_span(tq_d, 0, S // 2)
     tq_b = _slice_span(tq_d, S // 2, S)
-    futs = [pool.submit(np.asarray, x) for x in (tq_a, tq_b, ids_s)]
-    recs = np.asarray(rec_d)
+    return [pool.submit(np.asarray, x)
+            for x in (tq_a, tq_b, ids_s, rec_d)]
+
+
+def records_finish(futs, sdf_params, n_cells: int, R: int):
+    """Join the fetch futures -> zero-argument host-assembly closure."""
     tq_np = np.concatenate([futs[0].result(), futs[1].result()])
     if tq_np.dtype == np.uint8:
         # exact u8->u16 range map (255 * 257 == 65535); the assemblers
         # consume u16 fixed point
         tq_np = tq_np.astype(np.uint16) * np.uint16(257)
     ids_np = futs[2].result()
+    recs = futs[3].result()
 
     def assemble():
         try:
@@ -1197,6 +1226,25 @@ def extract_mesh_records_deferred(vol, sdf_params, ids, n_cells: int,
                                     sdf_params)
 
     return assemble
+
+
+def extract_mesh_records_deferred(vol, sdf_params, ids, n_cells: int,
+                                  iso: float = 0.0, batch: int = 8192):
+    """Record-mode extraction, split for the eval farm: this call does ALL
+    device work (record pass dispatch + the parallel record fetch — tunnel
+    traffic stays on the caller's thread); the returned zero-argument
+    closure runs only host-side native assembly, so a writer pool can
+    overlap it (and the OBJ write) with the next image's device work."""
+    R = int(vol.shape[0])
+    if n_cells == 0:
+        return lambda: (np.zeros((0, 3), np.float32),
+                        np.zeros((0, 3), np.int32))
+    n_iter, batch = records_n_iter(int(ids.shape[0]), n_cells, batch)
+    rec_d, tq_d, ids_s = records_dispatch(vol, ids, jnp.int32(n_cells),
+                                          iso=iso, n_iter=n_iter,
+                                          batch=batch)
+    return records_finish(records_start_fetch(rec_d, tq_d, ids_s),
+                          sdf_params, n_cells, R)
 
 
 def extract_mesh_records(vol, sdf_params, ids, n_cells: int,

@@ -355,6 +355,44 @@ def test_extract_mesh_records_wrapper():
     assert np.abs(rv - ev).max() <= (2.0 / 32) / 65535 + 1e-6
 
 
+def test_fit_batch_divides():
+    """_fit_batch returns a divisor of the ids length: the record/owned
+    extractors slice cell_ids with a CLAMPING dynamic_slice, so a partial
+    final batch silently re-reads shifted cells (round-2 advisor finding:
+    sparse_stride=2 gives ids buffers of bcap*8, not a multiple of the
+    default 8192 batch)."""
+    for n, b in [(10240, 8192), (640, 512), (1024, 512), (7, 8192),
+                 (1, 4), (8192, 8192)]:
+        fb = marching._fit_batch(n, b)
+        assert fb <= b and n % fb == 0 and fb >= 1
+
+
+def test_records_with_nonmultiple_ids_length():
+    """extract_mesh_records on an ids buffer whose length is NOT a
+    multiple of the requested batch must still reproduce the owned mesh
+    (regression: the last clamped batch used to corrupt slot->cell
+    alignment / fail the S-slice)."""
+    import jax.numpy as jnp
+
+    vol = sphere_volume(R=33)
+    ev, ef = marching.extract_mesh_owned(vol, PARAMS)
+    R = vol.shape[0]
+    gcap = marching._norm_gcap(R, None)
+    vold = jnp.asarray(vol, jnp.float32)
+    ids, ncd, gov = marching._active_cells_ext(vold, 0.0, gcap)
+    nc = int(ncd)
+    # smallest multiple of 128 >= nc that is NOT a multiple of the batch
+    L = -(-nc // 128) * 128
+    batch = 512
+    while L % batch == 0:
+        L += 128
+    assert L <= ids.shape[0]
+    rv, rf = marching.extract_mesh_records(vold, PARAMS, ids[:L], nc,
+                                           batch=batch)
+    np.testing.assert_array_equal(rf, ef)
+    assert np.abs(rv - ev).max() <= (2.0 / 32) / 65535 + 1e-6
+
+
 def test_owned_empty_and_full():
     v, f = marching.extract_mesh_owned(np.ones((9, 9, 9), np.float32),
                                        PARAMS)
