@@ -504,6 +504,9 @@ def make_sharded_sparse_fn(cfg: Config, mesh, stride: int = 4,
     c = rc - 1
     pts_per_cell = stride ** 3
     cells_per_block = sizes["cells_per_block"]
+    # _sparse_parts clamps the block to the cell cap at small grids — use
+    # the clamped value, or fine_block's q/cells shapes diverge
+    block = cells_per_block * pts_per_cell
     n_dev = mesh.shape[POINT_AXIS]
     if int(np.prod([mesh.shape[a] for a in mesh.axis_names
                     if a != POINT_AXIS])) > 1:
@@ -514,6 +517,12 @@ def make_sharded_sparse_fn(cfg: Config, mesh, stride: int = 4,
     n_plane = fine_r * fine_r
     plane_blocks = -(-(-(-3 * n_plane // block)) // n_dev)  # per device
     fold = dense_mod.normalize_fold(None, cfg)
+    from disn_tpu.infer import fused as fused_mod
+    # round-2 verdict item 3: the sharded fine pass routes through the SAME
+    # fused Pallas kernel as single-chip production (per-device stripe of
+    # the active-cell list), not the slow XLA decode
+    use_kernel = fused_mod.kernel_enabled(cfg, fold, stride, fine_r,
+                                          strict=False)
 
     def worker(params, img, trans_mat, sdf_params):
         embedding, endpoints = dense_mod._prep(params, img, cfg,
@@ -557,9 +566,24 @@ def make_sharded_sparse_fn(cfg: Config, mesh, stride: int = 4,
             flat = (fz * fine_r + fy) * fine_r + fx
             return vals, jnp.where(slot < count, flat, fine_r ** 3)
 
-        my_blocks = dev * blocks_per_dev + jnp.arange(blocks_per_dev,
-                                                      dtype=jnp.int32)
-        vals, flats = jax.lax.map(fine_block, my_blocks)
+        if use_kernel:
+            start_cell = dev * blocks_per_dev * cells_per_block
+            kcells = jax.lax.dynamic_slice_in_dim(
+                cell_ids, start_cell, blocks_per_dev * cells_per_block)
+            vals, esc_b = fused_mod.decode_cells(
+                params, endpoints, trans_mat, sdf_params, kcells, cfg,
+                fine_r=fine_r, coarse_c=c)
+            _, kflats = fused_mod._cell_points(kcells, c, fine_r,
+                                               sdf_params)
+            kslot = start_cell + jnp.arange(
+                kcells.shape[0] * pts_per_cell,
+                dtype=jnp.int32) // pts_per_cell
+            flats = jnp.where(kslot < count, kflats, fine_r ** 3)
+        else:
+            my_blocks = dev * blocks_per_dev + jnp.arange(blocks_per_dev,
+                                                          dtype=jnp.int32)
+            vals, flats = jax.lax.map(fine_block, my_blocks)
+            esc_b = jnp.int32(0)
 
         def plane_block(i):
             q = i * block + jnp.arange(block, dtype=jnp.int32)
@@ -587,24 +611,27 @@ def make_sharded_sparse_fn(cfg: Config, mesh, stride: int = 4,
         my_planes = dev * plane_blocks + jnp.arange(plane_blocks,
                                                     dtype=jnp.int32)
         pvals, pflats = jax.lax.map(plane_block, my_planes)
-        return (vals[None], flats[None], pvals[None], pflats[None],
-                vol_c[None], count[None])
+        return (vals.reshape(1, -1), flats.reshape(1, -1), pvals[None],
+                pflats[None], vol_c[None], count[None],
+                esc_b.reshape(1, 1))
 
     sharded = shard_map(
         worker, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(POINT_AXIS), P(POINT_AXIS), P(POINT_AXIS),
-                   P(POINT_AXIS), P(POINT_AXIS), P(POINT_AXIS)),
+                   P(POINT_AXIS), P(POINT_AXIS), P(POINT_AXIS),
+                   P(POINT_AXIS)),
         check_vma=False,
     )
 
     @jax.jit
     def fn(params, img, trans_mat, sdf_params):
-        vals, flats, pvals, pflats, vol_cs, counts = sharded(
+        vals, flats, pvals, pflats, vol_cs, counts, escs = sharded(
             params, img, trans_mat, sdf_params)
         vol = _upsample_aligned(vol_cs[0], stride).reshape(-1)
         vol = vol.at[flats.reshape(-1)].set(vals.reshape(-1), mode="drop")
         vol = vol.at[pflats.reshape(-1)].set(pvals.reshape(-1), mode="drop")
-        return vol.reshape(fine_r, fine_r, fine_r), counts[0]
+        return (vol.reshape(fine_r, fine_r, fine_r), counts[0],
+                jnp.sum(escs))
 
     return fn, cell_cap

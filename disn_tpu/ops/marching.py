@@ -537,6 +537,26 @@ def _owned_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     return pair_i, pair_j, nb_tbl, dir_tbl
 
 
+def _sign_change_cells(volume: jnp.ndarray, iso: float) -> jnp.ndarray:
+    """[R,R,R] field -> [E,E,E] bool: some corner signs of the (extended)
+    cell disagree. Separable 2-neighborhood any/all — 6 shifted pair ops —
+    instead of materializing the 8-corner stack (whose shifted slices are
+    lane-misaligned copies, ~8 ms of pure relayout at 257^3)."""
+    ip = jnp.pad(volume < iso, ((0, 1),) * 3, mode="edge")
+
+    def pair(a, op, axis):
+        n = a.shape[axis] - 1
+        return op(jax.lax.slice_in_dim(a, 0, n, axis=axis),
+                  jax.lax.slice_in_dim(a, 1, n + 1, axis=axis))
+
+    any_ = ip
+    all_ = ip
+    for ax in (2, 1, 0):
+        any_ = pair(any_, jnp.logical_or, ax)
+        all_ = pair(all_, jnp.logical_and, ax)
+    return any_ & ~all_
+
+
 @functools.partial(jax.jit, static_argnames=("iso", "gcap"))
 def _active_cells_ext(volume: jnp.ndarray, iso: float, gcap: int
                       ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -551,11 +571,7 @@ def _active_cells_ext(volume: jnp.ndarray, iso: float, gcap: int
     E^3, n_cells, g_overflow)."""
     R = volume.shape[0]
     E = R
-    inside = volume < iso
-    ip = jnp.pad(inside, ((0, 1), (0, 1), (0, 1)), mode="edge")
-    corners = jnp.stack([ip[dz:dz + E, dy:dy + E, dx:dx + E]
-                         for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)])
-    change = jnp.any(corners, axis=0) & ~jnp.all(corners, axis=0)
+    change = _sign_change_cells(volume, iso)
     G = 4
     Eg = -(-E // G) * G
     ch = jnp.pad(change, ((0, Eg - E),) * 3)
@@ -575,15 +591,15 @@ def _active_cells_ext(volume: jnp.ndarray, iso: float, gcap: int
     cs = jnp.cumsum(flat.astype(jnp.int32))
     cap = gcap * G ** 3
     cidx = jnp.where(flat, cs - 1, cap)
-    g_of = jnp.repeat(gids, G ** 3)
-    l_of = jnp.tile(jnp.arange(G ** 3, dtype=jnp.int32), gcap)
-    gz = g_of // (gq * gq)
-    gy = (g_of // gq) % gq
-    gx = g_of % gq
-    lz = l_of // (G * G)
-    ly = (l_of // G) % G
-    lx = l_of % G
-    eid = ((gz * G + lz) * E + (gy * G + ly)) * E + (gx * G + lx)
+    # group-level decomposition + static in-group offsets (see the same
+    # rewrite in _active_cells_from_coarse)
+    gz = gids // (gq * gq)
+    gy = (gids // gq) % gq
+    gx = gids % gq
+    base = ((gz * G) * E + gy * G) * E + gx * G               # [gcap]
+    l = np.arange(G ** 3, dtype=np.int32)
+    loff = jnp.asarray(((l // (G * G)) * E + ((l // G) % G)) * E + l % G)
+    eid = (base[:, None] + loff[None, :]).reshape(-1)
     ids = jnp.zeros((cap,), jnp.int32).at[cidx].set(eid, mode="drop")
     return ids, cs[-1], jnp.maximum(g_count - gcap, 0)
 
@@ -615,11 +631,7 @@ def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
     S = stride
     cgrid = (R - 1) // S
     B3 = cgrid + 1  # ghost block column
-    inside = volume < iso
-    ip = jnp.pad(inside, ((0, 1),) * 3, mode="edge")
-    corners = jnp.stack([ip[dz:dz + E, dy:dy + E, dx:dx + E]
-                         for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)])
-    change = jnp.any(corners, axis=0) & ~jnp.all(corners, axis=0)
+    change = _sign_change_cells(volume, iso)
     Ep = B3 * S
     ch = jnp.pad(change, ((0, Ep - E),) * 3)
     blk = ch.reshape(B3, S, B3, S, B3, S).transpose(0, 2, 4, 1, 3, 5)
@@ -642,15 +654,15 @@ def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
     cs = jnp.cumsum(flat.astype(jnp.int32))
     cap = bcap * S ** 3
     cidx = jnp.where(flat, cs - 1, cap)
-    b_of = jnp.repeat(bids, S ** 3)
-    l_of = jnp.tile(jnp.arange(S ** 3, dtype=jnp.int32), bcap)
-    bz = b_of // (B3 * B3)
-    by = (b_of // B3) % B3
-    bx = b_of % B3
-    lz = l_of // (S * S)
-    ly = (l_of // S) % S
-    lx = l_of % S
-    eid = ((bz * S + lz) * E + (by * S + ly)) * E + (bx * S + lx)
+    # block-level decomposition + a static in-block offset vector: integer
+    # div/mod over the bcap*64 slot space measured ~several ms at 257^3
+    bz = bids // (B3 * B3)
+    by = (bids // B3) % B3
+    bx = bids % B3
+    base = ((bz * S) * E + by * S) * E + bx * S               # [bcap]
+    l = np.arange(S ** 3, dtype=np.int32)
+    loff = jnp.asarray(((l // (S * S)) * E + ((l // S) % S)) * E + l % S)
+    eid = (base[:, None] + loff[None, :]).reshape(-1)
     ids = jnp.zeros((cap,), jnp.int32).at[cidx].set(eid, mode="drop")
     # correctness guard for fields that violate the band/Lipschitz premise:
     # any change cell OUTSIDE the candidate blocks flips the overflow flag
@@ -956,7 +968,12 @@ def _extract_records(volume: jnp.ndarray, cell_ids: jnp.ndarray,
     D = len(pair_i_np)
     R = volume.shape[0]
     E = R
-    vpack = _pack8(jnp.pad(volume, ((0, 1),) * 3, mode="edge"), E)
+    # 8 direct scalar gathers from the edge-padded flat volume: a _pack8
+    # materialization costs ~17 ms at 257^3 (the 8 shifted slices are
+    # lane-misaligned copies in every layout tried) while TPU gathers run
+    # ~10 ns/row — 8 x batch scalar rows is ~6 ms cheaper per image
+    vflat = jnp.pad(volume, ((0, 1),) * 3, mode="edge").reshape(-1)
+    W = E + 1
     bad = jnp.asarray((CORNERS[pair_i_np] | CORNERS[pair_j_np]) > 0)
     slot_base = jnp.arange(batch, dtype=jnp.int32)
 
@@ -965,7 +982,9 @@ def _extract_records(volume: jnp.ndarray, cell_ids: jnp.ndarray,
         cz = cids // (E * E)
         cy = (cids // E) % E
         cx = cids % E
-        vals = jnp.take(vpack, cids, axis=0)
+        vals = jnp.stack(
+            [jnp.take(vflat, ((cz + oz) * W + (cy + oy)) * W + (cx + ox))
+             for (ox, oy, oz) in CORNERS.tolist()], axis=-1)
         in_range = (i * batch + slot_base) < n_cells
         inside = vals < iso
         vi = vals[:, pair_i_np]

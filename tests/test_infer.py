@@ -252,10 +252,33 @@ def test_sparse_sharded_matches_single(setup):
     dev_params = jax.device_put(
         params, jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec()))
-    vol, count = fn(dev_params, jnp.asarray(img), jnp.asarray(TRANS),
-                    jnp.asarray(SDF_PARAMS))
-    assert int(count) <= cap
+    vol, count, esc = fn(dev_params, jnp.asarray(img), jnp.asarray(TRANS),
+                         jnp.asarray(SDF_PARAMS))
+    assert int(count) <= cap and int(esc) == 0
     np.testing.assert_allclose(np.asarray(vol), single, rtol=1e-4, atol=1e-5)
+
+
+def test_image_to_mesh_sharded_matches_single():
+    """Multi-chip single-image pipeline (striped sparse + striped records)
+    produces the same welded mesh as the single-device production path."""
+    import jax
+    import numpy as np
+    from disn_tpu.data import synthetic
+    from disn_tpu.infer import pipeline
+    from disn_tpu.parallel import make_mesh
+
+    cfg = synthetic.tiny_config(sdf_res=32, num_classes=32, width_mult=0.125,
+                                compute_dtype="float32", cell_cap_frac=0.9)
+    params = synthetic.analytic_octahedron_params(cfg, r=0.6)
+    img = np.random.RandomState(0).rand(1, 137, 137, 3).astype(np.float32)
+    trans = synthetic.demo_trans_mat()
+    sdfp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    mesh = make_mesh(data=1, points=len(jax.devices()))
+    sv, sf = pipeline.image_to_mesh_sharded(params, img, trans, cfg, mesh,
+                                            sdf_params=sdfp)
+    wv, wf = pipeline.image_to_mesh(params, img, trans, cfg, sdf_params=sdfp)
+    np.testing.assert_array_equal(sf, wf)
+    np.testing.assert_allclose(sv, wv, atol=2e-5)
 
 
 def test_analytic_octahedron_params():
