@@ -276,29 +276,57 @@ def _cam_batches(args, cfg):
 
 
 def _cam_eval(args, cfg, params, logger) -> None:
-    import jax.numpy as jnp
-    from disn_tpu.core import camera
+    """--mode test: the reference eval_one_epoch protocol
+    (cam_est/train_sdf_cam.py:459-565) — run the FULL cam loss graph over
+    the split's batches (real sampled SDF points, RT, trans_mat; not probe
+    grids), accumulate every loss, and report avg plus the avg/max/min of
+    the per-batch rot2d/rot3d point distances. Batches come through the
+    training pipeline's prefetching multi-worker loader instead of a
+    serial per-view h5 loop."""
+    import jax
+    from disn_tpu.data import pipeline
     from disn_tpu.models import posenet
 
-    import jax
-    apply_fn = jax.jit(lambda p, img: posenet.apply(p, img, cfg))
-    d2, d3, n = 0.0, 0.0, 0
-    for (cat_id, obj, view), rec, paths in _cam_batches(args, cfg):
-        img = rec.img_arr[:, :, :3].astype(np.float32)[None] / 255.0
-        out = apply_fn(params, jnp.asarray(img))
-        pred = np.asarray(out["pred_trans_mat"])[0]
-        # projected-pixel distance on a probe grid (model_cam.py:157-161)
-        probe = np.random.RandomState(0).uniform(-0.5, 0.5, (1, 256, 3)
-                                                 ).astype(np.float32)
-        gt_px = np.asarray(camera.project_points(
-            jnp.asarray(probe), jnp.asarray(rec.trans_mat[None])))
-        pr_px = np.asarray(camera.project_points(
-            jnp.asarray(probe), jnp.asarray(pred[None])))
-        d2 += float(np.linalg.norm(gt_px - pr_px, axis=-1).mean())
-        d3 += float(np.abs(pred - rec.trans_mat).mean())
+    listinfo, cats_limit, paths = data_handles(cfg, args.data_root,
+                                               args.split)
+    loader = pipeline.make_loader(cfg, paths, listinfo, cats_limit,
+                                  epochs=1, shuffle=False,
+                                  workers=args.workers, seed=args.seed)
+
+    @jax.jit
+    def eval_step(params, batch):
+        end_points = posenet.apply(params, batch["img"][..., :3], cfg)
+        _, losses = posenet.get_loss(end_points, batch, params, cfg)
+        return losses
+
+    sums: dict[str, float] = {}
+    d2_lst, d3_lst = [], []
+    n = 0
+    loader.start()
+    for batch in loader:
+        cam_batch = {"img": batch["img"][..., :3],
+                     "sample_pc": batch["sdf_pt"],
+                     "RT": batch["regress_mat"],
+                     "trans_mat": batch["trans_mat"]}
+        if "shifts" in batch:
+            cam_batch["shifts"] = batch["shifts"]
+        losses = jax.device_get(eval_step(params, cam_batch))
+        for k, v in losses.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        d2_lst.append(float(losses["rot2d_dist"]))
+        d3_lst.append(float(losses["rot3d_dist"]))
         n += 1
-    logger.log(f"cam eval over {n} views: 2d px dist {d2 / n:.3f}, "
-               f"matrix L1 {d3 / n:.5f}")
+    loader.shutdown()
+    if n == 0:
+        logger.log("cam eval: empty split")
+        return
+    for k in sorted(sums):
+        logger.log(f"cam eval {k}: {sums[k] / n:.6f}")
+    d2, d3 = np.asarray(d2_lst), np.asarray(d3_lst)
+    logger.log(f"avg 2d dist {d2.mean():.6f}, max 2d dist {d2.max():.6f}, "
+               f"min 2d dist {d2.min():.6f}")
+    logger.log(f"avg 3d dist {d3.mean():.6f}, max 3d dist {d3.max():.6f}, "
+               f"min 3d dist {d3.min():.6f}")
 
 
 def _cam_create_h5(args, cfg, params, logger) -> None:
@@ -379,7 +407,19 @@ def cmd_demo(args) -> None:
         trans = np.loadtxt(args.trans_mat, dtype=np.float32,
                            comments="#").reshape(4, 3)
     if args.cam_est or trans is None:
-        if not args.cam_restore:
+        cam_restore = args.cam_restore
+        if not cam_restore:
+            # bundled synthetic posenet: the reference demo's two-graph
+            # contract works out of the box (demo/demo.py:195-258)
+            bundled = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "demo", "tiny_posenet.npz")
+            if os.path.exists(bundled):
+                cam_restore = bundled
+                logger.log(f"using bundled posenet checkpoint {bundled} "
+                           "(synthetically trained; pass --cam-restore "
+                           "for a real one)")
+        if not cam_restore:
             raise SystemExit(
                 "a plain image carries no camera: pass --trans-mat "
                 "<4x3 txt> or --cam-restore <posenet ckpt> (or use a "
@@ -387,7 +427,7 @@ def cmd_demo(args) -> None:
         import jax
         import jax.numpy as jnp
         from disn_tpu.models import posenet
-        cam_donor = checkpoint.restore_params(args.cam_restore)
+        cam_donor = checkpoint.restore_params(cam_restore)
         cam_params = cam_donor.get("params", cam_donor)
         out = posenet.apply(cam_params, jnp.asarray(img[None, :, :, :3]), cfg)
         trans = np.asarray(out["pred_trans_mat"])[0]

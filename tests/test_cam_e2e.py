@@ -75,10 +75,19 @@ def test_cam_train_create_and_reconstruct(workdir):
     assert not np.allclose(rec_est.trans_mat, rec_gt.trans_mat)
     np.testing.assert_array_equal(rec_est.img_arr, rec_gt.img_arr)
 
-    # 3. eval mode runs
+    # 3. eval mode reports the reference eval_one_epoch quantities (full
+    # loss graph over split batches incl. avg/max/min rot2d/rot3d dists —
+    # cam_est/train_sdf_cam.py:560-565), not probe-grid smoke metrics
     cli.main(["train-cam", "--data-root", data, "--log-dir", run,
               "--mode", "test", "--split", "test", "--restore", ckpt]
              + _set())
+    log_txt = ""
+    for name in os.listdir(run):
+        if name.startswith("log_") and name.endswith(".txt"):
+            with open(os.path.join(run, name)) as f:
+                log_txt += f.read()
+    assert "avg 3d dist" in log_txt and "avg 2d dist" in log_txt
+    assert "cam eval rot2d_dist" in log_txt
 
     # 4. reconstruct with estimated cameras
     from disn_tpu.config import Config

@@ -235,3 +235,47 @@ def test_cam_2d_loss_unclamped_and_shifted(rng):
     end_points["pred_xyshift"] = jnp.asarray([[0.0, 0.0]], jnp.float32)
     _, losses2 = posenet.get_loss(end_points, batch, {"vgg_16": {}}, cfg)
     assert float(losses2["rot2d_loss"]) > 1.0
+
+
+def test_batch_norm_and_dropout():
+    """tf_util.py:513-607 parity wrappers (SURVEY §2 row 9): batch_norm
+    normalizes batch moments in training (unit-moment output, EMA update
+    with decay 0.9) and uses moving moments in inference; dropout is
+    inverted (mean-preserving) and identity when not training."""
+    import jax
+    import jax.numpy as jnp
+
+    from disn_tpu.models import layers
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(8, 5, 5, 3).astype(np.float32) * 2.0 + 1.0)
+    p = layers.init_batch_norm(3)
+
+    y, p2 = layers.batch_norm(p, x, is_training=True)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(np.asarray(y).mean(axis=(0, 1, 2)), 0.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y).std(axis=(0, 1, 2)), 1.0,
+                               atol=1e-2)
+    want_mm = 0.1 * np.asarray(x, np.float32).mean(axis=(0, 1, 2))
+    np.testing.assert_allclose(np.asarray(p2["moving_mean"]), want_mm,
+                               rtol=1e-5)
+
+    # inference: moving moments, params untouched
+    yi, p3 = layers.batch_norm(p2, x, is_training=False)
+    assert p3 is p2
+    mm, mv = p2["moving_mean"], p2["moving_variance"]
+    want = (np.asarray(x) - np.asarray(mm)) / np.sqrt(
+        np.asarray(mv) + 1e-3)
+    np.testing.assert_allclose(np.asarray(yi), want, rtol=1e-4, atol=1e-5)
+
+    key = jax.random.PRNGKey(0)
+    d = layers.dropout(key, x, rate=0.5, is_training=True)
+    zeros = np.mean(np.asarray(d) == 0.0)
+    assert 0.3 < zeros < 0.7
+    nz = np.asarray(d)[np.asarray(d) != 0]
+    xs = np.asarray(x)[np.asarray(d) != 0]
+    np.testing.assert_allclose(nz, xs * 2.0, rtol=1e-6)  # inverted scaling
+    np.testing.assert_array_equal(
+        np.asarray(layers.dropout(key, x, rate=0.5, is_training=False)),
+        np.asarray(x))

@@ -111,3 +111,44 @@ def test_convert_and_merge(tf_checkpoint, tmp_path):
     np.testing.assert_array_equal(
         merged["vgg_16"]["conv1"]["conv1_1"]["weights"],
         np.asarray(live["vgg_16"]["conv1"]["conv1_1"]["weights"]))
+
+
+def test_full_width_fc6_conversion(tmp_path):
+    """Full-width smoke for the 411 MB fc6 tensor (round-2 verdict item 4):
+    the pure-python reader must handle the multi-block table entries a
+    real TF bundle uses at this size, and the tree mapper must place the
+    (7,7,512,4096) HWIO weight where models/vgg.py expects it."""
+    import tensorflow.compat.v1 as tf1
+    tf1.disable_eager_execution()
+
+    fc6 = (np.arange(7 * 7 * 512 * 4096, dtype=np.int64) % 251).astype(
+        np.float32).reshape(7, 7, 512, 4096)
+    fc7 = (np.arange(4096 * 4096, dtype=np.int64) % 127).astype(
+        np.float32).reshape(1, 1, 4096, 4096)
+    prefix = str(tmp_path / "full.ckpt")
+    g = tf1.Graph()
+    with g.as_default():
+        tvars = {
+            "vgg_16/fc6/weights": tf1.get_variable(
+                "vgg_16/fc6/weights", initializer=fc6),
+            "vgg_16/fc7/weights": tf1.get_variable(
+                "vgg_16/fc7/weights", initializer=fc7),
+            "vgg_16/fc6/biases": tf1.get_variable(
+                "vgg_16/fc6/biases", initializer=np.ones(4096, np.float32)),
+        }
+        saver = tf1.train.Saver(var_list=tvars)
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, prefix, write_meta_graph=False,
+                       write_state=False)
+
+    tf_vars = tf_ckpt.read_tf_checkpoint(prefix)
+    assert tf_vars["vgg_16/fc6/weights"].shape == (7, 7, 512, 4096)
+    params = tf_ckpt.tf_vars_to_params(tf_vars)
+    w = params["vgg_16"]["fc6"]["weights"]
+    assert w.shape == (7, 7, 512, 4096) and w.dtype == np.float32
+    rng = np.random.RandomState(0)
+    for _ in range(16):  # spot-check exact round trip at random indices
+        i = tuple(rng.randint(0, s) for s in w.shape)
+        assert w[i] == fc6[i]
+    assert params["vgg_16"]["fc7"]["weights"].shape == (1, 1, 4096, 4096)
