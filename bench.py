@@ -48,7 +48,8 @@ def main() -> None:
 
     if on_tpu:
         cfg = Config(sdf_res=256, compute_dtype="bfloat16")
-        reps = 5
+        reps = 9  # tunnel fetch jitter is ±10-15 ms; a 9-rep median is
+        # stable where a 5-rep one moved ~15 ms run to run
     else:  # CPU smoke fallback so the bench always emits a line
         cfg = Config(sdf_res=32, compute_dtype="float32", num_classes=64,
                      width_mult=0.125)

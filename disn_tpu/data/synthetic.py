@@ -235,11 +235,23 @@ def build_dataset(root: str, shapes: dict | None = None, views: int = 4,
 
 
 def demo_trans_mat() -> np.ndarray:
-    """The canonical synthetic test camera: a scaled-identity 4x3 transform
-    with image-center translation — shared by bench.py, __graft_entry__.py,
-    and the test fixtures so they never diverge."""
-    return np.vstack([np.eye(3) * 60.0,
-                      [68.0, 68.0, 2.0]]).astype(np.float32)
+    """The canonical synthetic test camera — shared by bench.py,
+    __graft_entry__.py, and the test fixtures so they never diverge.
+
+    A REAL Blender-protocol camera (view_params_to_trans_mat at az=45,
+    el=20, the dataset-typical distance), not the old scaled-identity
+    matrix: that one's w=0 plane cut the box at z=-1/30, a physically
+    impossible configuration no ShapeNet view has, which forced ~13% of
+    active cells through the fused kernel's escape-rescue branch on every
+    benchmark image. Pathological-camera coverage lives in
+    tests/test_fused.py's own TRANS."""
+    from disn_tpu.core import camera
+
+    # distance_ratio 1.1: w > 0 over the whole [-1,1]^3 box (min 0.25 at
+    # the far corners) and the unit object fills px 15..122 of the frame
+    trans, _, _, _ = camera.view_params_to_trans_mat(
+        45.0, 20.0, 1.1, np.zeros(3), 1.0, img_w=137, img_h=137)
+    return trans.astype(np.float32)
 
 
 def analytic_octahedron_params(cfg: Config, key=None, r: float = 0.6,

@@ -93,14 +93,16 @@ _SPEC_CACHE: dict = {}
 def _fused_bcap(n_blocks: int, sizes: dict) -> int:
     """Candidate-block cap for the extraction scan: active cells (<= the
     fine-pass bucket) + a ghost margin; derived from n_blocks so a
-    predicted n_blocks implies its (consistent) bcap."""
+    predicted n_blocks implies its (consistent) bcap. The margin only
+    covers boundary-ghost blocks (O(c^(2/3)) of c) — overflow flips gov
+    and the caller falls back, so a tight margin is safe."""
     n_kcells = n_blocks * sizes["cells_per_block"]
-    return -(-(n_kcells + max(1024, n_kcells // 4)) // 256) * 256
+    return -(-(n_kcells + max(1024, n_kcells // 16)) // 256) * 256
 
 
 def _sparse_fused_mesh(params: Params, img: np.ndarray,
                        trans_mat: np.ndarray, sdf_params: np.ndarray,
-                       cfg: Config, iso: float, block: int = 65536,
+                       cfg: Config, iso: float, block: int = 32768,
                        defer: bool = False
                        ) -> tuple[np.ndarray, np.ndarray] | None:
     """Production fast path: sparse two-phase inference with the mesh
@@ -136,7 +138,8 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
         params, jnp.asarray(img), jnp.asarray(trans_mat),
         jnp.asarray(sdf_params))
     R = cfg.grid_resolution
-    batch = 8192
+    batch = 4096  # finer record buckets: ~10% fewer slot-dense bytes over
+    # the tunnel at production counts (qbucket(18)*4096 vs qbucket(9)*8192)
     key = (cfg, float(iso), block)
     pred = _SPEC_CACHE.get(key)
 
@@ -182,13 +185,18 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
                 return None
             if gov <= 0:
                 if ni_p * batch_p >= nc:
-                    fetch = marching_mod.records_finish(
-                        futs, sdf_params, nc, R)
-                    return fetch if defer else fetch()
+                    if defer:
+                        # the farm joins the in-flight fetches on a writer
+                        # thread: the main thread dispatches the next
+                        # image's device chain while these records land
+                        return (lambda: marching_mod.records_finish(
+                            futs, sdf_params, nc, R)())
+                    return marching_mod.records_finish(
+                        futs, sdf_params, nc, R)()
                 # record bucket under-predicted: re-run ONLY the record
                 # pass at the exact bucket (ids/vol still on device)
                 fetch = marching_mod.extract_mesh_records_deferred(
-                    vol, sdf_params, ids, nc, iso=iso)
+                    vol, sdf_params, ids, nc, iso=iso, join=not defer)
                 return fetch if defer else fetch()
             # gov > 0 with a consistent bcap: genuine group overflow ->
             # full-volume rescan fallback below
@@ -202,7 +210,7 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
                 return None
             if gov <= 0:
                 fetch = marching_mod.extract_mesh_records_deferred(
-                    vol, sdf_params, ids, nc, iso=iso)
+                    vol, sdf_params, ids, nc, iso=iso, join=not defer)
                 return fetch if defer else fetch()
     else:
         # no prediction yet: sequential two-sync flow, seeding the cache
@@ -218,7 +226,7 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
             return None
         if gov <= 0:
             fetch = marching_mod.extract_mesh_records_deferred(
-                vol, sdf_params, ids, nc, iso=iso)
+                vol, sdf_params, ids, nc, iso=iso, join=not defer)
             return fetch if defer else fetch()
     # high-genus group-cap overflow: rescan the (already computed) volume
     # at the configured ceiling

@@ -1250,12 +1250,20 @@ def records_finish(futs, sdf_params, n_cells: int, R: int):
 
 
 def extract_mesh_records_deferred(vol, sdf_params, ids, n_cells: int,
-                                  iso: float = 0.0, batch: int = 8192):
+                                  iso: float = 0.0, batch: int = 8192,
+                                  join: bool = True):
     """Record-mode extraction, split for the eval farm: this call does ALL
-    device work (record pass dispatch + the parallel record fetch — tunnel
-    traffic stays on the caller's thread); the returned zero-argument
-    closure runs only host-side native assembly, so a writer pool can
-    overlap it (and the OBJ write) with the next image's device work."""
+    device work (record pass dispatch + starting the parallel record fetch
+    on the shared pool); the returned zero-argument closure runs host-side
+    assembly, so a writer pool can overlap it (and the OBJ write) with the
+    next image's device work.
+
+    join=True (default) blocks here until the transfers land — the closure
+    then holds plain numpy. join=False moves the future-join into the
+    closure too: the caller's thread is free to dispatch the NEXT image's
+    device chain while this image's records are still in flight on the
+    fetch pool (no new device traffic originates off-thread — the safe
+    kind of overlap; farm-measured win)."""
     R = int(vol.shape[0])
     if n_cells == 0:
         return lambda: (np.zeros((0, 3), np.float32),
@@ -1264,8 +1272,10 @@ def extract_mesh_records_deferred(vol, sdf_params, ids, n_cells: int,
     rec_d, tq_d, ids_s = records_dispatch(vol, ids, jnp.int32(n_cells),
                                           iso=iso, n_iter=n_iter,
                                           batch=batch)
-    return records_finish(records_start_fetch(rec_d, tq_d, ids_s),
-                          sdf_params, n_cells, R)
+    futs = records_start_fetch(rec_d, tq_d, ids_s)
+    if join:
+        return records_finish(futs, sdf_params, n_cells, R)
+    return lambda: records_finish(futs, sdf_params, n_cells, R)()
 
 
 def extract_mesh_records(vol, sdf_params, ids, n_cells: int,
