@@ -100,31 +100,46 @@ def _fused_bcap(n_blocks: int, sizes: dict) -> int:
     return -(-(n_kcells + max(1024, n_kcells // 16)) // 256) * 256
 
 
-def _sparse_fused_mesh(params: Params, img: np.ndarray,
-                       trans_mat: np.ndarray, sdf_params: np.ndarray,
-                       cfg: Config, iso: float, block: int = 32768,
-                       defer: bool = False
-                       ) -> tuple[np.ndarray, np.ndarray] | None:
-    """Production fast path: sparse two-phase inference with the mesh
-    extractor's active-cell scan fused into phase_b (one jit) — the volume
-    never triggers a standalone scan round trip.
+def _exact_blocks(c: int, sizes: dict) -> int:
+    return min(sizes["max_blocks"], max(1, -(-c // sizes["cells_per_block"])))
 
-    SPECULATIVE DISPATCH (round 3): phase-b's block bucket and the record
-    pass's iteration bucket are data-dependent, but OVER-prediction is
-    always sound (padded slots mask out against the device-resident
-    counts), so when a previous image's buckets are cached the whole chain
-    phase-a -> phase-b+scan -> record pass is dispatched back-to-back with
-    NO intervening host sync; all five scalars and the record buffers ride
-    ONE shared round trip (scalar get + 4 fetch streams in parallel). A
-    mispredicted-under bucket is detected from the synced scalars and only
-    the affected stage re-runs at the exact bucket. This removes 2 of the
-    3 tunnel RTTs of the round-2 pipeline (~25 ms each on the axon link).
 
-    Returns None when a fallback condition fires (cap overflow / fused-
-    kernel escape overflow); the caller then runs the exact unfused path.
-    defer=True returns a zero-argument closure running only host-side
-    assembly (all device traffic already done) for eval-farm overlap."""
-    import jax
+def _needed_blocks(c: int, sizes: dict) -> int:
+    # quarter-pow2 bucket (<=4 jit variants per octave): a pow2 bucket
+    # padded the 257^3 fine pass 16384 vs 11712 active cells — 40% wasted
+    # MXU work in the dominant kernel
+    from disn_tpu.ops import marching as marching_mod
+    return min(sizes["max_blocks"], marching_mod._qbucket(_exact_blocks(c, sizes)))
+
+
+def _run_pbm(ctx: dict, n_blocks: int):
+    import jax.numpy as jnp
+
+    cfg = ctx["cfg"]
+    pbm = sparse_mod._phase_b_mesh_jit(
+        cfg, cfg.sparse_stride, ctx["block"], cfg.cell_cap_frac,
+        cfg.band_factor, n_blocks, float(ctx["iso"]),
+        _fused_bcap(n_blocks, ctx["sizes"]))
+    embedding, endpoints, vol_c, cell_ids, count, esc_a = ctx["pa"]
+    return pbm(ctx["params"], embedding, endpoints, vol_c, cell_ids, count,
+               jnp.asarray(ctx["trans_mat"]), jnp.asarray(ctx["sdf_params"]))
+
+
+def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
+                    sdf_params: np.ndarray, cfg: Config, iso: float,
+                    block: int = 32768) -> dict:
+    """Stage 1 of the production fast path: dispatch phase-a and — when a
+    bucket prediction exists (_SPEC_CACHE) — phase-b+scan and the record
+    pass back-to-back, starting the record fetch streams. NO host sync
+    happens here, so the eval farm can dispatch image k+1's whole device
+    chain while image k's scalars are still crossing the tunnel.
+
+    SPECULATIVE DISPATCH (round 3): the phase-b block bucket and record
+    bucket are data-dependent, but OVER-prediction is always sound (padded
+    slots mask out against device-resident counts), so the chain needs no
+    intervening sync; all five scalars and the record buffers then ride
+    ONE round trip in _fused_collect (~25 ms/sync on the axon link —
+    round 2 paid three of them)."""
     import jax.numpy as jnp
 
     from disn_tpu.ops import marching as marching_mod
@@ -134,51 +149,58 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
         cfg, stride, block, cfg.cell_cap_frac, cfg.band_factor)
     pa = sparse_mod._phase_a_jit(cfg, stride, block,
                                  cfg.cell_cap_frac, cfg.band_factor)
-    embedding, endpoints, vol_c, cell_ids, count, esc_a = pa(
-        params, jnp.asarray(img), jnp.asarray(trans_mat),
-        jnp.asarray(sdf_params))
-    R = cfg.grid_resolution
-    batch = 4096  # finer record buckets: ~10% fewer slot-dense bytes over
-    # the tunnel at production counts (qbucket(18)*4096 vs qbucket(9)*8192)
-    key = (cfg, float(iso), block)
-    pred = _SPEC_CACHE.get(key)
-
-    def run_pbm(n_blocks):
-        pbm = sparse_mod._phase_b_mesh_jit(
-            cfg, stride, block, cfg.cell_cap_frac, cfg.band_factor,
-            n_blocks, float(iso), _fused_bcap(n_blocks, sizes))
-        return pbm(params, embedding, endpoints, vol_c, cell_ids, count,
-                   jnp.asarray(trans_mat), jnp.asarray(sdf_params))
-
-    def exact_blocks(c):
-        return min(sizes["max_blocks"],
-                   max(1, -(-c // sizes["cells_per_block"])))
-
-    def needed_blocks(c):
-        # quarter-pow2 bucket (<=4 jit variants per octave): a pow2 bucket
-        # padded the 257^3 fine pass 16384 vs 11712 active cells — 40%
-        # wasted MXU work in the dominant kernel
-        return min(sizes["max_blocks"], marching_mod._qbucket(exact_blocks(c)))
-
-    futs = None
+    pa_out = pa(params, jnp.asarray(img), jnp.asarray(trans_mat),
+                jnp.asarray(sdf_params))
+    ctx = dict(params=params, trans_mat=trans_mat, sdf_params=sdf_params,
+               cfg=cfg, iso=iso, block=block, sizes=sizes, pa=pa_out,
+               key=(cfg, float(iso), block), batch=4096, pred=None)
+    # finer record buckets (batch 4096): ~10% fewer slot-dense bytes over
+    # the tunnel at production counts
+    pred = _SPEC_CACHE.get(ctx["key"])
     if pred is not None:
         nb_p, ni_p = pred
-        vol, esc_b, ids, ncd, gov_d = run_pbm(nb_p)
+        vol, esc_b, ids, ncd, gov_d = _run_pbm(ctx, nb_p)
         ni_p, batch_p = marching_mod.records_n_iter(
-            int(ids.shape[0]), ni_p * batch, batch)
+            int(ids.shape[0]), ni_p * ctx["batch"], ctx["batch"])
         rec_d, tq_d, ids_s = marching_mod.records_dispatch(
             vol, ids, ncd, iso=iso, n_iter=ni_p, batch=batch_p)
-        # the 4 record fetch streams ride the SAME round trip as the
-        # scalar sync below (they run on the fetch pool's threads)
-        futs = marching_mod.records_start_fetch(rec_d, tq_d, ids_s)
+        ctx.update(pred=(nb_p, ni_p, batch_p),
+                   pbm=(vol, esc_b, ids, ncd, gov_d),
+                   futs=marching_mod.records_start_fetch(rec_d, tq_d, ids_s))
+    return ctx
+
+
+def _fused_collect(ctx: dict, defer: bool = False
+                   ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Stage 2: ONE combined scalar sync + validation. A mispredicted-under
+    bucket re-runs only the affected stage at the exact bucket. Returns
+    (verts, faces), a zero-argument assembly closure (defer=True), or None
+    when a fallback condition fires (cap overflow / kernel escape
+    overflow) — the caller then runs the exact unfused path."""
+    import jax
+
+    from disn_tpu.ops import marching as marching_mod
+
+    sizes = ctx["sizes"]
+    cfg = ctx["cfg"]
+    iso = ctx["iso"]
+    sdf_params = ctx["sdf_params"]
+    batch = ctx["batch"]
+    key = ctx["key"]
+    R = cfg.grid_resolution
+    _, _, _, _, count, esc_a = ctx["pa"]
+    if ctx["pred"] is not None:
+        nb_p, ni_p, batch_p = ctx["pred"]
+        vol, esc_b, ids, ncd, gov_d = ctx["pbm"]
+        futs = ctx["futs"]
         c, ea, eb, nc, gov = (int(x) for x in jax.device_get(
             (count, esc_a, esc_b, ncd, gov_d)))
         if c > sizes["cell_cap"] or ea > 0:
             return None
-        nb = needed_blocks(c)
-        _SPEC_CACHE[key] = (nb, marching_mod.records_n_iter(
-            int(ids.shape[0]), nc, batch)[0])
-        if nb_p >= exact_blocks(c):
+        _SPEC_CACHE[key] = (_needed_blocks(c, sizes),
+                            marching_mod.records_n_iter(
+                                int(ids.shape[0]), nc, batch)[0])
+        if nb_p >= _exact_blocks(c, sizes):
             # prediction covered the work: the speculative results are the
             # exact results (padded slots were masked in-kernel)
             if eb > 0:
@@ -187,8 +209,8 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
                 if ni_p * batch_p >= nc:
                     if defer:
                         # the farm joins the in-flight fetches on a writer
-                        # thread: the main thread dispatches the next
-                        # image's device chain while these records land
+                        # thread: the main thread moves on to the next
+                        # image while these records land
                         return (lambda: marching_mod.records_finish(
                             futs, sdf_params, nc, R)())
                     return marching_mod.records_finish(
@@ -203,7 +225,8 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
         else:
             # under-predicted block bucket: phase-b covered only part of
             # the active set — re-run it at the exact bucket
-            vol, esc_b, ids, ncd, gov_d = run_pbm(nb)
+            vol, esc_b, ids, ncd, gov_d = _run_pbm(
+                ctx, _needed_blocks(c, sizes))
             eb, nc, gov = (int(x) for x in jax.device_get(
                 (esc_b, ncd, gov_d)))
             if eb > 0:
@@ -217,8 +240,8 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
         c, ea = (int(x) for x in jax.device_get((count, esc_a)))
         if c > sizes["cell_cap"] or ea > 0:
             return None
-        nb = needed_blocks(c)
-        vol, esc_b, ids, ncd, gov_d = run_pbm(nb)
+        nb = _needed_blocks(c, sizes)
+        vol, esc_b, ids, ncd, gov_d = _run_pbm(ctx, nb)
         eb, nc, gov = (int(x) for x in jax.device_get((esc_b, ncd, gov_d)))
         _SPEC_CACHE[key] = (nb, marching_mod.records_n_iter(
             int(ids.shape[0]), nc, batch)[0])
@@ -235,6 +258,22 @@ def _sparse_fused_mesh(params: Params, img: np.ndarray,
         vol, sdf_params, iso=iso,
         gcap=None if mt is None else max(512, mt // 12), packed=True)
     return (lambda: mesh_) if defer else mesh_
+
+
+def _sparse_fused_mesh(params: Params, img: np.ndarray,
+                       trans_mat: np.ndarray, sdf_params: np.ndarray,
+                       cfg: Config, iso: float, block: int = 32768,
+                       defer: bool = False
+                       ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Production fast path: sparse two-phase inference with the mesh
+    extractor's active-cell scan fused into phase_b (one jit) and
+    speculative bucket dispatch — see _fused_dispatch/_fused_collect
+    (split so the eval farm can software-pipeline consecutive images)."""
+    if img.ndim == 3:
+        img = img[None]
+    return _fused_collect(
+        _fused_dispatch(params, img, trans_mat, sdf_params, cfg, iso,
+                        block=block), defer=defer)
 
 
 def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,
@@ -432,6 +471,41 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
     pool = ThreadPoolExecutor(writers)
     futures = []
     written = []
+
+    def flush(pending):
+        """Collect a previously-dispatched image: one scalar sync +
+        validation (the NEXT image's device chain is already queued behind
+        it, so the device never idles across the sync), then hand assembly
+        + write to the pool."""
+        ctx, rec, sdf, img, out, tag = pending
+        assemble = _fused_collect(ctx, defer=True) if ctx else None
+        if assemble is None:
+            # fallback (ineligible config / cap overflow / escapes):
+            # exact unfused path, serial — rare by design
+            vol = predict_volume(params, img, rec.trans_mat,
+                                 sdf.sdf_params, cfg, sparse=sparse)
+            mesh_ = volume_to_mesh(vol, sdf.sdf_params, iso=cfg.iso,
+                                   max_tris=cfg.max_triangles)
+            assemble = lambda m=mesh_: m  # noqa: E731
+
+        def write(assemble=assemble, out=out):
+            verts, faces = assemble()
+            codecs.write_obj(out, verts, faces)
+
+        futures.append(pool.submit(write))
+        # backpressure: each pending future pins ~2-3 MB of record
+        # buffers; bound the backlog, don't grow it for the split
+        while len(futures) > 4 * writers + 4:
+            futures.pop(0).result()
+        if logger:
+            logger.log(f"reconstructed {tag}")
+
+    # software pipeline, one image deep: dispatch image k's device chain
+    # (no sync — _fused_dispatch), then collect image k-1. The main thread
+    # still owns ALL device traffic (round-2 finding: device work from
+    # worker threads contends on the tunnel); the pool only joins already-
+    # in-flight fetches and runs native assembly + OBJ writes.
+    pending = None
     try:
         while True:
             item = q.get()
@@ -447,38 +521,19 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
             out = os.path.join(out_root, cat_id,
                                f"{cat_id}_{obj}_{view:02d}.obj")
             written.append(out)
-            # keep ALL device work INCLUDING the record transfer on this
-            # thread: any device traffic from worker threads (extraction
-            # jits, even plain fetches) contends on the tunnel and measures
-            # SLOWER than strictly sequential (2.3-2.9 s/img vs 0.8). The
-            # pool overlaps only host work: native assembly + OBJ write.
-            assemble = None
+            ctx = None
             if (sparse and cfg.variant.value != "threedcnn"
                     and cfg.sdf_res % cfg.sparse_stride == 0
                     and (not cfg.binary or cfg.binary_sparse)
                     and img.ndim == 3):
-                assemble = _sparse_fused_mesh(params, img[None],
-                                              rec.trans_mat,
-                                              sdf.sdf_params, cfg,
-                                              iso=cfg.iso, defer=True)
-            if assemble is None:
-                vol = predict_volume(params, img, rec.trans_mat,
-                                     sdf.sdf_params, cfg, sparse=sparse)
-                mesh_ = volume_to_mesh(vol, sdf.sdf_params, iso=cfg.iso,
-                                       max_tris=cfg.max_triangles)
-                assemble = lambda m=mesh_: m  # noqa: E731
-
-            def write(assemble=assemble, out=out):
-                verts, faces = assemble()
-                codecs.write_obj(out, verts, faces)
-
-            futures.append(pool.submit(write))
-            # backpressure: each pending future pins ~2-3 MB of record
-            # buffers; bound the backlog, don't grow it for the split
-            while len(futures) > 4 * writers + 4:
-                futures.pop(0).result()
-            if logger:
-                logger.log(f"reconstructed {cat_id}/{obj}/{view}")
+                ctx = _fused_dispatch(params, img[None], rec.trans_mat,
+                                      sdf.sdf_params, cfg, iso=cfg.iso)
+            if pending is not None:
+                flush(pending)
+            pending = (ctx, rec, sdf, img, out, f"{cat_id}/{obj}/{view}")
+        if pending is not None:
+            flush(pending)
+            pending = None
         for f in futures:
             f.result()
     finally:
