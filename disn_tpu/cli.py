@@ -408,9 +408,13 @@ def cmd_demo(args) -> None:
                            comments="#").reshape(4, 3)
     if args.cam_est or trans is None:
         cam_restore = args.cam_restore
-        if not cam_restore:
+        if not cam_restore and cfg.width_mult == 0.25 \
+                and cfg.num_classes == 128:
             # bundled synthetic posenet: the reference demo's two-graph
-            # contract works out of the box (demo/demo.py:195-258)
+            # contract works out of the box (demo/demo.py:195-258) — but
+            # ONLY at its own training config: at any other width the
+            # shapes don't even match, and silently estimating a real
+            # photo's camera with a toy net would mislead (round-3 review)
             bundled = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "demo", "tiny_posenet.npz")

@@ -164,6 +164,11 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
             int(ids.shape[0]), ni_p * ctx["batch"], ctx["batch"])
         rec_d, tq_d, ids_s = marching_mod.records_dispatch(
             vol, ids, ncd, iso=iso, n_iter=ni_p, batch=batch_p)
+        # NOTE: these fetch futures cannot be cancelled mid-transfer; on a
+        # misprediction or fallback the abandoned bytes still cross the
+        # tunnel and contend with the corrective work — an accepted cost
+        # of the rare path (a hit saves ~25 ms every image; a miss pays
+        # ~1 MB of dead transfer once per workload density transition)
         ctx.update(pred=(nb_p, ni_p, batch_p),
                    pbm=(vol, esc_b, ids, ncd, gov_d),
                    futs=marching_mod.records_start_fetch(rec_d, tq_d, ids_s))
@@ -229,6 +234,12 @@ def _fused_collect(ctx: dict, defer: bool = False
                 ctx, _needed_blocks(c, sizes))
             eb, nc, gov = (int(x) for x in jax.device_get(
                 (esc_b, ncd, gov_d)))
+            # re-seed the record bucket from the CORRECTED scan: the
+            # partial scan's nc under-counts and would mispredict the
+            # next image's record pass too (round-3 review)
+            _SPEC_CACHE[key] = (_needed_blocks(c, sizes),
+                                marching_mod.records_n_iter(
+                                    int(ids.shape[0]), nc, batch)[0])
             if eb > 0:
                 return None
             if gov <= 0:
@@ -370,6 +381,13 @@ def image_to_mesh_sharded(params: Params, img: np.ndarray,
     per_dev = min(marching_mod._qbucket(max(1, -(-nc // (batch * n_dev)))),
                   ids_len // batch // n_dev)
     n_iter = n_dev * per_dev
+    if n_iter * batch < nc:
+        # flooring ids_len//batch to an n_dev multiple left some active
+        # cells uncovered (dense field near the cap) — the striped pass
+        # would silently drop them and the assembler would read past the
+        # fetched buffers; extract single-device instead (round-3 review)
+        return marching_mod.extract_mesh_records_deferred(
+            vol, sdf_params, ids, nc, iso=iso)()
     rkey = ("records", mesh, R, float(iso), n_iter, batch)
     if rkey not in _SHARDED_FNS:
         _SHARDED_FNS[rkey] = marching_mod.make_sharded_records_fn(

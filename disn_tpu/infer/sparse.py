@@ -147,11 +147,21 @@ def _band_tau(vol_c: jnp.ndarray, sdf_params: jnp.ndarray, rc: int,
         h = span / (rc - 1)  # world steps (x, y, z)
         hx, hy, hz = h[0], h[1], h[2]
         n_ = rc - 1
+        # gain-aware window: a fixed 4*tau near-band masks every
+        # informative step once the gain pushes surface-adjacent |v| past
+        # it (e.g. a gain-11 ball floating inside one coarse cell whose
+        # nearest corners read 1.4 > 4*tau = 1.3 — round-3 review). The
+        # global minimum |v| marks the dip the surface lives in whatever
+        # the gain; widening the window past 2*vmin keeps the dip's
+        # neighborhood in the estimate while a true SDF (vmin ~ 0) still
+        # sees only the 4*tau band and none of the bf16 far-field noise.
+        vmin = jnp.min(jnp.abs(vol_c))
+        win = 4.0 * tau + 2.0 * vmin
 
         def dir_lip(sl_a, sl_b, step):
             a = vol_c[sl_a]
             b = vol_c[sl_b]
-            near = jnp.minimum(jnp.abs(a), jnp.abs(b)) < 4.0 * tau
+            near = jnp.minimum(jnp.abs(a), jnp.abs(b)) < win
             return jnp.max(jnp.where(near, jnp.abs(b - a), 0.0)) / step
 
         lo_ = slice(0, n_)

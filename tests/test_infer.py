@@ -354,6 +354,20 @@ def test_steep_field_autocal():
     np.testing.assert_array_equal(on[1], want[1])
     np.testing.assert_allclose(on[0], want[0], atol=2e-5)
 
+    # extreme gain: surface-adjacent corner |v| exceeds even the 4*tau
+    # near-band window — the dip-relative widening (win = 4 tau + 2 min|v|)
+    # must keep the slope estimate informed (round-3 review finding)
+    params11 = synthetic.analytic_octahedron_params(
+        cfg, r=0.06, gain=11.0, center=(0.0625, 0.0625, 0.0625))
+    on11 = pipeline._sparse_fused_mesh(params11, img, trans, sdfp, cfg,
+                                       iso=0.0)
+    vol11 = np.asarray(pipeline.predict_volume(params11, img, trans, sdfp,
+                                               cfg, sparse=False))
+    want11 = pipeline.volume_to_mesh(vol11, sdfp, iso=0.0)
+    assert len(want11[1]) > 0
+    assert on11 is not None
+    np.testing.assert_array_equal(on11[1], want11[1])
+
 
 def test_image_to_mesh_fused_matches_unfused():
     """The fused production driver (scan inside phase_b, extraction from the
