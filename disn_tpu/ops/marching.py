@@ -625,17 +625,53 @@ def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
     The block decomposition and z-major compaction are IDENTICAL to
     _active_cells_ext (gq == cgrid+1, G == stride), so the emitted id
     sequence is bit-identical — only blocks provably empty are skipped.
-    Returns (ids [bcap*stride^3] flat over E^3, n_cells, block_overflow)."""
+
+    BITPACKED (round 3): each block's 64 change bits are packed into two
+    int32 words by two tiny MXU matmuls (x -> nibble, y -> base-16 digit;
+    every weight is a power of two so even a bf16-lowered dot is exact)
+    plus one 16-bit shift-combine along z — the [B3,S,B3,S,B3,S] ->
+    [B3^3, 64] transpose of the bool field (a 4-element-minor Mosaic
+    relayout, ~3.6 ms at 257^3) never materializes. Compaction then keeps
+    only candidate blocks that CONTAIN a change bit (cap bcap//2), so the
+    final element-level cumsum+scatter runs over half the slot domain.
+    Measured 14.1 -> 6.1 ms at 257^3 with a bit-identical id sequence.
+    Returns (ids [max(512,bcap//2 rounded to 256)*stride^3] flat over E^3,
+    n_cells, overflow)."""
     R = volume.shape[0]
     E = R
     S = stride
+    if S ** 3 > 64:
+        raise ValueError(f"candidate scan supports stride^3 <= 64, got "
+                         f"stride {S}; run _active_cells_ext instead")
     cgrid = (R - 1) // S
     B3 = cgrid + 1  # ghost block column
     change = _sign_change_cells(volume, iso)
     Ep = B3 * S
     ch = jnp.pad(change, ((0, Ep - E),) * 3)
-    blk = ch.reshape(B3, S, B3, S, B3, S).transpose(0, 2, 4, 1, 3, 5)
-    blk = blk.reshape(B3 ** 3, S ** 3)
+    f32 = jnp.float32
+    xs = np.arange(Ep)
+    wx = np.zeros((Ep, B3), np.float32)
+    wx[xs, xs // S] = 2.0 ** (xs % S)          # x digit: S bits
+    wy = np.zeros((Ep, B3), np.float32)
+    wy[xs, xs // S] = (2.0 ** S) ** (xs % S)   # y digit: S-bit spacing
+    a = jnp.dot(ch.reshape(Ep * Ep, Ep).astype(f32), jnp.asarray(wx),
+                preferred_element_type=f32).reshape(Ep, Ep, B3)  # [z, y, bx]
+    b = jax.lax.dot_general(a, jnp.asarray(wy),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)  # [z, bx, by]
+    bi = b.transpose(0, 2, 1).astype(jnp.int32).reshape(B3, S, B3, B3)
+    s2 = S * S  # bits per z layer (f32-exact: values < 2^s2 <= 2^16)
+    blo = jnp.zeros_like(bi[:, 0])
+    bhi = jnp.zeros_like(bi[:, 0])
+    for zl in range(S):
+        bit0 = zl * s2
+        if bit0 + s2 <= 32:
+            blo = blo | (bi[:, zl] << bit0)
+        else:
+            bhi = bhi | (bi[:, zl] << (bit0 - 32))
+    bits = jnp.stack([blo.reshape(-1), bhi.reshape(-1)], axis=-1)  # [B3^3,2]
+    # bit l of (lo,hi) = local cell (z=l//s2, y=(l//S)%S, x=l%S) — the same
+    # z-major order as _active_cells_ext's in-group offsets
     n_slots = coarse_ids.shape[0]
     valid = jnp.arange(n_slots, dtype=jnp.int32) < coarse_count
     act = jnp.zeros((cgrid ** 3,), bool).at[
@@ -643,23 +679,31 @@ def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
     # edge-pad == the ghost shell's min-clamp onto boundary actives
     cand = jnp.pad(act.reshape(cgrid, cgrid, cgrid), ((0, 1),) * 3,
                    mode="edge").reshape(-1)
-    bcs = jnp.cumsum(cand.astype(jnp.int32))
-    bidx = jnp.where(cand, bcs - 1, bcap)
-    bids = jnp.zeros((bcap,), jnp.int32).at[bidx].set(
+    sel = cand & ((bits[:, 0] | bits[:, 1]) != 0)
+    b2cap = max(512, -(-(bcap // 2) // 256) * 256)
+    bcs = jnp.cumsum(sel.astype(jnp.int32))
+    bidx = jnp.where(sel, bcs - 1, b2cap)
+    bids = jnp.zeros((b2cap,), jnp.int32).at[bidx].set(
         jnp.arange(B3 ** 3, dtype=jnp.int32), mode="drop")
     b_count = bcs[-1]
-    rows = jnp.take(blk, bids, axis=0)
-    rows = rows & (jnp.arange(bcap, dtype=jnp.int32)[:, None] < b_count)
+    rbits = jnp.take(bits, bids, axis=0)  # [b2cap, 2]
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, S ** 3), 1)
+    rows = jnp.where(li < 32,
+                     jax.lax.shift_right_logical(rbits[:, 0:1], li),
+                     jax.lax.shift_right_logical(rbits[:, 1:2],
+                                                 jnp.maximum(li - 32, 0))) & 1
+    rows = rows * (jnp.arange(b2cap, dtype=jnp.int32)[:, None]
+                   < b_count).astype(jnp.int32)
     flat = rows.reshape(-1)
-    cs = jnp.cumsum(flat.astype(jnp.int32))
-    cap = bcap * S ** 3
-    cidx = jnp.where(flat, cs - 1, cap)
+    cs = jnp.cumsum(flat)
+    cap = b2cap * S ** 3
+    cidx = jnp.where(flat > 0, cs - 1, cap)
     # block-level decomposition + a static in-block offset vector: integer
-    # div/mod over the bcap*64 slot space measured ~several ms at 257^3
+    # div/mod over the slot space measured ~several ms at 257^3
     bz = bids // (B3 * B3)
     by = (bids // B3) % B3
     bx = bids % B3
-    base = ((bz * S) * E + by * S) * E + bx * S               # [bcap]
+    base = ((bz * S) * E + by * S) * E + bx * S               # [b2cap]
     l = np.arange(S ** 3, dtype=np.int32)
     loff = jnp.asarray(((l // (S * S)) * E + ((l // S) % S)) * E + l % S)
     eid = (base[:, None] + loff[None, :]).reshape(-1)
@@ -667,9 +711,12 @@ def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
     # correctness guard for fields that violate the band/Lipschitz premise:
     # any change cell OUTSIDE the candidate blocks flips the overflow flag
     # and the caller falls back to the full-volume scan — results are
-    # always correct, the candidate scan is only ever a fast path
+    # always correct, the candidate scan is only ever a fast path. (The
+    # change-block cap bcap//2 rides the same flag: candidate bands are
+    # 4-5x thicker than the crossing slab, so a 2x margin holds unless the
+    # field is pathologically wiggly — then the fallback, not silence.)
     missed = jnp.sum(change) - cs[-1]
-    return ids, cs[-1], jnp.maximum(b_count - bcap, 0) + missed
+    return ids, cs[-1], jnp.maximum(b_count - b2cap, 0) + missed
 
 
 def _pack8(src_pad: jnp.ndarray, E: int) -> jnp.ndarray:
