@@ -159,10 +159,10 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     pred = _SPEC_CACHE.get(ctx["key"])
     if pred is not None:
         nb_p, ni_p = pred
-        vol, esc_b, ids, ncd, gov_d = _run_pbm(ctx, nb_p)
+        vol, esc_b, ids, ncd, gov_d, blk_d = _run_pbm(ctx, nb_p)
         ni_p, batch_p = marching_mod.records_n_iter(
             int(ids.shape[0]), ni_p * ctx["batch"], ctx["batch"])
-        rec_d, tq_d, ids_s = marching_mod.records_dispatch(
+        rec_d, tq_d, _ = marching_mod.records_dispatch(
             vol, ids, ncd, iso=iso, n_iter=ni_p, batch=batch_p)
         # NOTE: these fetch futures cannot be cancelled mid-transfer; on a
         # misprediction or fallback the abandoned bytes still cross the
@@ -171,7 +171,8 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         # ~1 MB of dead transfer once per workload density transition)
         ctx.update(pred=(nb_p, ni_p, batch_p),
                    pbm=(vol, esc_b, ids, ncd, gov_d),
-                   futs=marching_mod.records_start_fetch(rec_d, tq_d, ids_s))
+                   futs=marching_mod.records_start_fetch_masked(
+                       rec_d, tq_d, blk_d))
     return ctx
 
 
@@ -216,9 +217,9 @@ def _fused_collect(ctx: dict, defer: bool = False
                         # the farm joins the in-flight fetches on a writer
                         # thread: the main thread moves on to the next
                         # image while these records land
-                        return (lambda: marching_mod.records_finish(
+                        return (lambda: marching_mod.records_finish_masked(
                             futs, sdf_params, nc, R)())
-                    return marching_mod.records_finish(
+                    return marching_mod.records_finish_masked(
                         futs, sdf_params, nc, R)()
                 # record bucket under-predicted: re-run ONLY the record
                 # pass at the exact bucket (ids/vol still on device)
@@ -230,7 +231,7 @@ def _fused_collect(ctx: dict, defer: bool = False
         else:
             # under-predicted block bucket: phase-b covered only part of
             # the active set — re-run it at the exact bucket
-            vol, esc_b, ids, ncd, gov_d = _run_pbm(
+            vol, esc_b, ids, ncd, gov_d, _ = _run_pbm(
                 ctx, _needed_blocks(c, sizes))
             eb, nc, gov = (int(x) for x in jax.device_get(
                 (esc_b, ncd, gov_d)))
@@ -252,7 +253,7 @@ def _fused_collect(ctx: dict, defer: bool = False
         if c > sizes["cell_cap"] or ea > 0:
             return None
         nb = _needed_blocks(c, sizes)
-        vol, esc_b, ids, ncd, gov_d = _run_pbm(ctx, nb)
+        vol, esc_b, ids, ncd, gov_d, _ = _run_pbm(ctx, nb)
         eb, nc, gov = (int(x) for x in jax.device_get((esc_b, ncd, gov_d)))
         _SPEC_CACHE[key] = (nb, marching_mod.records_n_iter(
             int(ids.shape[0]), nc, batch)[0])

@@ -414,9 +414,9 @@ def _phase_b_mesh_jit(cfg, stride, block, cell_cap_frac, band_factor,
            trans_mat, sdf_params):
         vol, esc_b = finish(params, embedding, endpoints, vol_c, cell_ids,
                             count, trans_mat, sdf_params, n_blocks=n_blocks)
-        ids, n_cells, g_over = marching._active_cells_from_coarse(
+        ids, n_cells, g_over, blk = marching._active_cells_from_coarse(
             vol, cell_ids, count, iso=iso, stride=stride, bcap=bcap)
-        return vol, esc_b, ids, n_cells, g_over
+        return vol, esc_b, ids, n_cells, g_over, blk
 
     return fn
 

@@ -50,9 +50,10 @@ def _load() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.c_int64,
         ]
         i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.mesh_assemble.restype = ctypes.c_int
         lib.mesh_assemble.argtypes = [
-            i32p, ctypes.POINTER(ctypes.c_uint32),
+            i32p, u32p,
             ctypes.POINTER(ctypes.c_uint16),
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p, i32p, i32p,
@@ -60,8 +61,107 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), i32p,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.mesh_expand_ids.restype = ctypes.c_int64
+        lib.mesh_expand_ids.argtypes = [
+            i32p, u32p, u32p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i32p,
+        ]
+        lib.mesh_faces.restype = ctypes.c_int64
+        lib.mesh_faces.argtypes = [
+            i32p, u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p, i32p,
+        ]
+        lib.mesh_verts.restype = ctypes.c_int64
+        lib.mesh_verts.argtypes = [
+            i32p, u32p, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return lib
+
+
+def mesh_expand_ids(blk: np.ndarray, R: int, S: int = 4) -> tuple[np.ndarray,
+                                                                  int]:
+    """Expand the candidate scan's (block id, 64-bit change mask) rows
+    (blk [n,3] i32: bid, mask_lo, mask_hi; masked-out rows are zero) into
+    the flat cell-id list the device compaction emits. Returns (ids
+    [n*S^3] i32 with the first n_cells valid, n_cells)."""
+    lib = _load()
+    blk = np.ascontiguousarray(blk, np.int32)
+    n_blocks = len(blk)
+    out = np.empty(n_blocks * S ** 3, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    bids = np.ascontiguousarray(blk[:, 0])
+    mlo = np.ascontiguousarray(blk[:, 1]).view(np.uint32)
+    mhi = np.ascontiguousarray(blk[:, 2]).view(np.uint32)
+    n = lib.mesh_expand_ids(
+        bids.ctypes.data_as(i32p), mlo.ctypes.data_as(u32p),
+        mhi.ctypes.data_as(u32p), np.int32(n_blocks), np.int32(R),
+        np.int32(S), out.ctypes.data_as(i32p))
+    return out, int(n)
+
+
+def mesh_faces(ids: np.ndarray, recs: np.ndarray, n_cells: int, R: int
+               ) -> np.ndarray:
+    """Faces-only pass of the record assembler (no tq needed): lets the
+    caller overlap triangle emission with the still-in-flight edge-t
+    stream. Vertex indices reference the slot-major/direction-minor order
+    mesh_verts emits."""
+    from disn_tpu.ops.marching import CORNERS, TETS, _owned_tables, _tables
+
+    lib = _load()
+    pair_i, pair_j, nb_tbl, dir_tbl = _owned_tables()
+    D = len(pair_i)
+    ids = np.ascontiguousarray(ids[:n_cells], np.int32)
+    recs = np.ascontiguousarray(recs[:n_cells], np.uint32)
+    i32c = lambda a: np.ascontiguousarray(a, np.int32)  # noqa: E731
+    tables = [i32c(CORNERS), i32c(TETS), i32c(_tables()[1]), i32c(nb_tbl),
+              i32c(dir_tbl)]
+    faces = np.empty((n_cells * 12, 3), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ntri = lib.mesh_faces(
+        ids.ctypes.data_as(i32p),
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        np.int32(n_cells), np.int32(R), np.int32(D),
+        *[t.ctypes.data_as(i32p) for t in tables],
+        faces.ctypes.data_as(i32p))
+    if ntri < 0:
+        raise RuntimeError(f"mesh_faces failed (rc={ntri})")
+    return faces[:ntri].copy()
+
+
+def mesh_verts(ids: np.ndarray, recs: np.ndarray, tq: np.ndarray,
+               n_cells: int, R: int, bbox: np.ndarray) -> np.ndarray:
+    """Verts-only pass of the record assembler (the tq consumer)."""
+    from disn_tpu.ops.marching import CORNERS, _owned_tables
+
+    lib = _load()
+    pair_i, pair_j, _, _ = _owned_tables()
+    D = len(pair_i)
+    ids = np.ascontiguousarray(ids[:n_cells], np.int32)
+    recs = np.ascontiguousarray(recs[:n_cells], np.uint32)
+    tq = np.asarray(tq[:n_cells])
+    if tq.dtype == np.uint8:  # exact u8 range map (see marching._tq_bits)
+        tq = tq.astype(np.uint16) * np.uint16(257)
+    tq = np.ascontiguousarray(tq, np.uint16)
+    i32c = lambda a: np.ascontiguousarray(a, np.int32)  # noqa: E731
+    tables = [i32c(pair_i), i32c(pair_j), i32c(CORNERS)]
+    bbox_f = np.ascontiguousarray(bbox, np.float32)
+    verts = np.empty((n_cells * D, 3), np.float32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    nv = lib.mesh_verts(
+        ids.ctypes.data_as(i32p),
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        tq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        np.int32(n_cells), np.int32(R), np.int32(D),
+        *[t.ctypes.data_as(i32p) for t in tables],
+        bbox_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return verts[:nv].copy()
 
 
 def mesh_assemble(ids: np.ndarray, recs: np.ndarray, tq: np.ndarray,

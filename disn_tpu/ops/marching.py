@@ -636,7 +636,7 @@ def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
     final element-level cumsum+scatter runs over half the slot domain.
     Measured 14.1 -> 6.1 ms at 257^3 with a bit-identical id sequence.
     Returns (ids [max(512,bcap//2 rounded to 256)*stride^3] flat over E^3,
-    n_cells, overflow)."""
+    n_cells, overflow, blk [b2cap,3] i32 (block id, mask lo, mask hi))."""
     R = volume.shape[0]
     E = R
     S = stride
@@ -687,13 +687,13 @@ def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
         jnp.arange(B3 ** 3, dtype=jnp.int32), mode="drop")
     b_count = bcs[-1]
     rbits = jnp.take(bits, bids, axis=0)  # [b2cap, 2]
+    rbits = rbits * (jnp.arange(b2cap, dtype=jnp.int32)[:, None]
+                     < b_count).astype(jnp.int32)
     li = jax.lax.broadcasted_iota(jnp.int32, (1, S ** 3), 1)
     rows = jnp.where(li < 32,
                      jax.lax.shift_right_logical(rbits[:, 0:1], li),
                      jax.lax.shift_right_logical(rbits[:, 1:2],
                                                  jnp.maximum(li - 32, 0))) & 1
-    rows = rows * (jnp.arange(b2cap, dtype=jnp.int32)[:, None]
-                   < b_count).astype(jnp.int32)
     flat = rows.reshape(-1)
     cs = jnp.cumsum(flat)
     cap = b2cap * S ** 3
@@ -716,7 +716,12 @@ def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
     # 4-5x thicker than the crossing slab, so a 2x margin holds unless the
     # field is pathologically wiggly — then the fallback, not silence.)
     missed = jnp.sum(change) - cs[-1]
-    return ids, cs[-1], jnp.maximum(b_count - b2cap, 0) + missed
+    # blk: the compacted (block id, mask lo, mask hi) rows (zero masks past
+    # b_count). 12 bytes/block vs 4 bytes/cell — the host reconstructs the
+    # id list from this stream (native.mesh_expand_ids) instead of fetching
+    # ids over the tunnel (~130 KB vs ~330 KB at production counts)
+    blk = jnp.stack([bids, rbits[:, 0], rbits[:, 1]], axis=-1)
+    return ids, cs[-1], jnp.maximum(b_count - b2cap, 0) + missed, blk
 
 
 def _pack8(src_pad: jnp.ndarray, E: int) -> jnp.ndarray:
@@ -928,7 +933,9 @@ def _get_fetch_pool():
     with _FETCH_POOL_LOCK:
         if _FETCH_POOL is None:
             from concurrent.futures import ThreadPoolExecutor
-            _FETCH_POOL = ThreadPoolExecutor(4)
+            # 6 workers: the masked record path runs 5 concurrent streams
+            # (3x tq + blk + rec); the tunnel aggregate saturates at >=4
+            _FETCH_POOL = ThreadPoolExecutor(6)
     return _FETCH_POOL
 
 
@@ -1272,6 +1279,89 @@ def records_start_fetch(rec_d, tq_d, ids_s):
     tq_b = _slice_span(tq_d, S // 2, S)
     return [pool.submit(np.asarray, x)
             for x in (tq_a, tq_b, ids_s, rec_d)]
+
+
+def expand_block_ids_np(blk: np.ndarray, R: int, S: int = 4
+                        ) -> tuple[np.ndarray, int]:
+    """Numpy oracle for native.mesh_expand_ids: (block id, 64-bit mask)
+    rows -> the flat cell-id list of the device compaction (block-
+    ascending, local-bit ascending)."""
+    E = R
+    B3 = (E + S - 1) // S
+    m = (blk[:, 1].view(np.uint32).astype(np.uint64)
+         | (blk[:, 2].view(np.uint32).astype(np.uint64) << np.uint64(32)))
+    rows = ((m[:, None] >> np.arange(S ** 3, dtype=np.uint64)[None, :])
+            & 1).astype(bool)
+    bi, li = np.nonzero(rows)  # row-major == (block asc, bit asc)
+    bids = blk[:, 0].astype(np.int64)
+    bz = bids // (B3 * B3)
+    by = (bids // B3) % B3
+    bx = bids % B3
+    base = ((bz * S) * E + by * S) * E + bx * S
+    lz, ly, lx = li // (S * S), (li // S) % S, li % S
+    ids = (base[bi] + (lz * E + ly) * E + lx).astype(np.int32)
+    return ids, len(ids)
+
+
+def records_start_fetch_masked(rec_d, tq_d, blk_d):
+    """Fetch plan for the masked record path: the per-cell id stream is
+    replaced by the scan's compacted block rows (blk [b2cap,3] i32 — 12
+    bytes per CHANGE BLOCK vs 4 per cell, ~2.5x fewer bytes at typical
+    ~6 cells/block), and tq — the biggest stream — splits three ways so
+    the five concurrent streams land near-together on the ~52 MB/s
+    aggregate tunnel. Returns futures [tq0, tq1, tq2, blk, rec]."""
+    S = int(rec_d.shape[0])
+    pool = _get_fetch_pool()
+    t0, t1 = S // 3, 2 * S // 3
+    parts = (_slice_span(tq_d, 0, t0), _slice_span(tq_d, t0, t1),
+             _slice_span(tq_d, t1, S), blk_d, rec_d)
+    return [pool.submit(np.asarray, x) for x in parts]
+
+
+def records_finish_masked(futs, sdf_params, n_cells: int, R: int):
+    """Join the masked-path fetches -> zero-argument assembly closure.
+
+    The closure OVERLAPS assembly with the transfer tail when the host has
+    a spare core: blk and rec are the smallest streams, so the id
+    expansion and the whole faces pass (neither touches tq) run while the
+    three tq streams — the bulk of the bytes — are still in flight; the
+    verts pass joins them last. On a SINGLE-core host the C passes would
+    only timeshare against the fetch threads' memcpy (probe measured the
+    11 ms faces pass ballooning to 130-370 ms under that contention), so
+    there every stream joins first and assembly runs serially — the
+    block-mask byte savings still apply. Falls back to the numpy oracle
+    when the native build is unavailable."""
+    import os
+    overlap = (os.cpu_count() or 1) > 1
+
+    def assemble():
+        if not overlap:
+            for f in futs:
+                f.result()
+        blk_np = futs[3].result()
+        recs = futs[4].result()
+        try:
+            from disn_tpu import native
+            ids_np, n = native.mesh_expand_ids(blk_np, R)
+            if n != n_cells:
+                raise RuntimeError(
+                    f"mask expansion produced {n} cells, scan counted "
+                    f"{n_cells} (corrupt record stream)")
+            faces = native.mesh_faces(ids_np, recs, n_cells, R)
+            tq_np = np.concatenate([f.result() for f in futs[:3]])
+            verts = native.mesh_verts(ids_np, recs, tq_np, n_cells, R,
+                                      np.asarray(sdf_params, np.float32))
+            return verts, faces
+        except (OSError, CalledProcessError):
+            ids_np, n = expand_block_ids_np(blk_np, R)
+            assert n == n_cells, (n, n_cells)
+            tq_np = np.concatenate([f.result() for f in futs[:3]])
+            if tq_np.dtype == np.uint8:
+                tq_np = tq_np.astype(np.uint16) * np.uint16(257)
+            return assemble_mesh_np(ids_np, recs, tq_np, n_cells, R,
+                                    sdf_params)
+
+    return assemble
 
 
 def records_finish(futs, sdf_params, n_cells: int, R: int):

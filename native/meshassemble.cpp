@@ -148,4 +148,159 @@ int mesh_assemble(const int32_t* ids, const uint32_t* recs,
   return 0;
 }
 
+// ---- two-phase variant for fetch-overlapped assembly (round 3) ----
+//
+// The tunnel delivers the record streams in size order: the block bitmask
+// stream (~130 KB) and rec stream (~165 KB) land well before the tq stream
+// (~570 KB). Splitting assembly lets the faces pass (which needs only
+// ids+recs) run while tq is still in flight; the verts pass (the only tq
+// consumer) runs last. The ids themselves are reconstructed from the scan's
+// block list + 64-bit change masks (ops/marching._active_cells_from_coarse
+// bitpack) instead of riding their own 4-byte-per-cell stream.
+
+// Expand (block id, 64-bit mask) pairs into the flat cell-id list the
+// device compaction would emit (block-ascending, bit/local-offset
+// ascending). Masked-out blocks have zero masks. Returns n_cells.
+int64_t mesh_expand_ids(const int32_t* bids, const uint32_t* mlo,
+                        const uint32_t* mhi, int32_t n_blocks, int32_t R,
+                        int32_t S, int32_t* out_ids) {
+  const int64_t E = R;
+  const int64_t B3 = (E + S - 1) / S;
+  const int s2 = S * S;
+  int64_t n = 0;
+  for (int32_t b = 0; b < n_blocks; ++b) {
+    const uint64_t m = (uint64_t)mlo[b] | ((uint64_t)mhi[b] << 32);
+    if (!m) continue;
+    const int64_t bid = bids[b];
+    const int64_t bz = bid / (B3 * B3), by = (bid / B3) % B3, bx = bid % B3;
+    const int64_t base = ((bz * S) * E + by * S) * E + bx * S;
+    for (uint64_t mm = m; mm; mm &= mm - 1) {
+      const int l = __builtin_ctzll(mm);
+      const int64_t lz = l / s2, ly = (l / S) % S, lx = l % S;
+      out_ids[n++] = (int32_t)(base + (lz * E + ly) * E + lx);
+    }
+  }
+  return n;
+}
+
+// Faces pass only: vstart prefix (from rec crossing popcounts), block-range
+// owner index, table-driven triangles. No tq needed. Returns ntri (or
+// -1/-2 on corrupt input, as mesh_assemble).
+int64_t mesh_faces(const int32_t* ids, const uint32_t* recs, int32_t n_cells,
+                   int32_t R, int32_t D, const int32_t* corners,
+                   const int32_t* tets, const int32_t* counts_tbl,
+                   const int32_t* nb_tbl, const int32_t* dir_tbl,
+                   int32_t* out_faces) {
+  const int64_t E = R;
+  const int S = 4;
+  const int64_t B3 = (E + S - 1) / S;
+  std::vector<int64_t> vstart(n_cells + 1);
+  int64_t nv = 0;
+  for (int32_t i = 0; i < n_cells; ++i) {
+    vstart[i] = nv;
+    nv += __builtin_popcount(recs[i] >> 8);
+  }
+  vstart[n_cells] = nv;
+  auto block_of = [&](int64_t cid) -> int64_t {
+    const int64_t cz = cid / (E * E), cy = (cid / E) % E, cx = cid % E;
+    return ((cz / S) * B3 + (cy / S)) * B3 + (cx / S);
+  };
+  std::vector<int32_t> bstart(B3 * B3 * B3 + 1);
+  {
+    int64_t prev = -1;
+    for (int32_t i = 0; i < n_cells; ++i) {
+      const int64_t b = block_of(ids[i]);
+      if (b < prev) return -2;
+      for (int64_t k = prev + 1; k <= b; ++k) bstart[k] = i;
+      prev = b;
+    }
+    for (int64_t k = prev + 1; k <= B3 * B3 * B3; ++k) bstart[k] = n_cells;
+  }
+  auto find_slot = [&](int64_t cid) -> int32_t {
+    const int64_t b = block_of(cid);
+    const int32_t* first = ids + bstart[b];
+    const int32_t* last = ids + bstart[b + 1];
+    const int32_t* it = std::lower_bound(first, last, (int32_t)cid);
+    if (it == last || *it != cid) return -1;
+    return (int32_t)(it - ids);
+  };
+  int64_t ntri = 0;
+  int32_t nslot[8];
+  for (int32_t i = 0; i < n_cells; ++i) {
+    const int64_t cid = ids[i];
+    const int64_t cz = cid / (E * E), cy = (cid / E) % E, cx = cid % E;
+    if (cx > R - 2 || cy > R - 2 || cz > R - 2) continue;
+    const uint32_t inside = recs[i] & 0xffu;
+    for (int c8 = 0; c8 < 8; ++c8) nslot[c8] = -2;
+    for (int t = 0; t < 6; ++t) {
+      int caze = 0;
+      for (int j = 0; j < 4; ++j) caze |= (inside >> tets[t * 4 + j] & 1u) << j;
+      const int nt = counts_tbl[t * 16 + caze];
+      for (int k = 0; k < nt; ++k) {
+        for (int v = 0; v < 3; ++v) {
+          const int64_t e = (((int64_t)t * 16 + caze) * 2 + k) * 3 + v;
+          const int nbc = nb_tbl[e];
+          int32_t s = nslot[nbc];
+          if (s == -2) {
+            if (nbc == 0) {
+              s = i;
+            } else {
+              const int32_t* off = corners + 3 * nbc;
+              s = find_slot(((cz + off[2]) * E + (cy + off[1])) * E
+                            + (cx + off[0]));
+            }
+            nslot[nbc] = s;
+          }
+          if (s < 0) return -1;
+          const int drc = dir_tbl[e];
+          const uint32_t cmask = recs[s] >> 8;
+          const int rank = __builtin_popcount(cmask & ((1u << drc) - 1u));
+          out_faces[ntri * 3 + v] = (int32_t)(vstart[s] + rank);
+        }
+        ++ntri;
+      }
+    }
+  }
+  return ntri;
+}
+
+// Verts pass only: positions for every crossing edge, slot-major /
+// direction-minor (identical order to mesh_assemble). Returns nv.
+int64_t mesh_verts(const int32_t* ids, const uint32_t* recs,
+                   const uint16_t* tq, int32_t n_cells, int32_t R, int32_t D,
+                   const int32_t* pair_i, const int32_t* pair_j,
+                   const int32_t* corners, const float* bbox,
+                   float* out_verts) {
+  const int64_t E = R;
+  const double lo[3] = {bbox[0], bbox[1], bbox[2]};
+  const double span[3] = {bbox[3] - bbox[0], bbox[4] - bbox[1],
+                          bbox[5] - bbox[2]};
+  const double inv = 1.0 / (R - 1);
+  int64_t nv = 0;
+  for (int32_t i = 0; i < n_cells; ++i) {
+    const int64_t cid = ids[i];
+    const int64_t cz = cid / (E * E), cy = (cid / E) % E, cx = cid % E;
+    const uint32_t cross = recs[i] >> 8;
+    for (int d = 0; d < D; ++d) {
+      if (!(cross >> d & 1u)) continue;
+      const int32_t* oi = corners + 3 * pair_i[d];
+      const int32_t* oj = corners + 3 * pair_j[d];
+      const double t = tq[(int64_t)i * D + d] * (1.0 / 65535.0);
+      const int64_t gi[3] = {std::min(cx + oi[0], E - 1),
+                             std::min(cy + oi[1], E - 1),
+                             std::min(cz + oi[2], E - 1)};
+      const int64_t gj[3] = {std::min(cx + oj[0], E - 1),
+                             std::min(cy + oj[1], E - 1),
+                             std::min(cz + oj[2], E - 1)};
+      for (int a = 0; a < 3; ++a) {
+        const double pi = lo[a] + gi[a] * inv * span[a];
+        const double pj = lo[a] + gj[a] * inv * span[a];
+        out_verts[nv * 3 + a] = (float)(pi + t * (pj - pi));
+      }
+      ++nv;
+    }
+  }
+  return nv;
+}
+
 }  // extern "C"

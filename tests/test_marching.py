@@ -244,6 +244,45 @@ def test_records_match_owned(case):
         assert np.abs(av - ev).max() <= cell / 65535 + 1e-6, impl
 
 
+@pytest.mark.parametrize("cores", [1, 4])
+def test_masked_records_path_matches_owned(cores, monkeypatch):
+    """The masked record path (block-mask stream -> native id expansion ->
+    split faces/verts assembly overlapping the tq fetch) reproduces the
+    device extractor exactly, like the monolithic assembler — in both the
+    single-core (join-all-first) and multi-core (overlapped) schedules."""
+    import os as os_mod
+
+    import jax.numpy as jnp
+    from disn_tpu.infer import sparse as sparse_mod
+
+    monkeypatch.setattr(os_mod, "cpu_count", lambda: cores)
+
+    vol = sphere_volume(R=33, r=0.6)
+    R = vol.shape[0]
+    ev, ef = marching.extract_mesh_owned(vol, PARAMS, batch=512)
+
+    stride = 4
+    coarse = jnp.asarray(vol[::stride, ::stride, ::stride])
+    rc = coarse.shape[0]
+    span = PARAMS[3:6] - PARAMS[0:3]
+    tau = 1.5 * np.sqrt(np.sum((span / (rc - 1)) ** 2))
+    cell_ids, count = sparse_mod._active_cells(coarse, jnp.float32(tau), 512)
+    ids, ncd, ov, blk = marching._active_cells_from_coarse(
+        jnp.asarray(vol), cell_ids, count, iso=0.0, stride=stride, bcap=768)
+    nc = int(ncd)
+    assert int(ov) == 0 and nc > 0
+    n_iter, batch = marching.records_n_iter(int(ids.shape[0]), nc, 512)
+    rec_d, tq_d, _ = marching.records_dispatch(vol=jnp.asarray(vol), ids=ids,
+                                               n_cells_d=ncd, iso=0.0,
+                                               n_iter=n_iter, batch=batch)
+    futs = marching.records_start_fetch_masked(rec_d, tq_d, blk)
+    av, af = marching.records_finish_masked(futs, PARAMS, nc, R)()
+    np.testing.assert_array_equal(af, ef)
+    assert av.shape == ev.shape
+    cell = 2.0 / (R - 1)
+    assert np.abs(av - ev).max() <= cell / 65535 + 1e-6
+
+
 @pytest.mark.parametrize("r", [0.6, 1.3])
 def test_candidate_scan_matches_full_scan(r):
     """_active_cells_from_coarse (scan limited to band-active coarse cells
@@ -260,7 +299,7 @@ def test_candidate_scan_matches_full_scan(r):
     span = PARAMS[3:6] - PARAMS[0:3]
     tau = 1.5 * np.sqrt(np.sum((span / (rc - 1)) ** 2))
     cell_ids, count = sparse_mod._active_cells(coarse, jnp.float32(tau), 512)
-    ids_c, nc_c, ov = marching._active_cells_from_coarse(
+    ids_c, nc_c, ov, blk = marching._active_cells_from_coarse(
         jnp.asarray(vol), cell_ids, count, iso=0.0, stride=stride, bcap=768)
     gcap = marching._norm_gcap(33, None)
     ids_f, nc_f, gov = marching._active_cells_ext(jnp.asarray(vol), 0.0,
@@ -270,6 +309,15 @@ def test_candidate_scan_matches_full_scan(r):
     assert int(nc_c) == n and n > 0
     np.testing.assert_array_equal(np.asarray(ids_c)[:n],
                                   np.asarray(ids_f)[:n])
+    # the block-mask stream expands to the SAME id sequence (numpy oracle
+    # and the native C expander the masked fetch path uses)
+    eids, en = marching.expand_block_ids_np(np.asarray(blk), 33)
+    assert en == n
+    np.testing.assert_array_equal(eids[:n], np.asarray(ids_f)[:n])
+    from disn_tpu import native
+    nids, nn = native.mesh_expand_ids(np.asarray(blk), 33)
+    assert nn == n
+    np.testing.assert_array_equal(nids[:n], np.asarray(ids_f)[:n])
 
 
 def test_candidate_scan_guard_flags_missed_cells():
@@ -279,7 +327,7 @@ def test_candidate_scan_guard_flags_missed_cells():
 
     vol = sphere_volume(R=33, r=0.6)
     # claim NO active coarse cells: every change cell is 'missed'
-    ids_c, nc_c, ov = marching._active_cells_from_coarse(
+    ids_c, nc_c, ov, _ = marching._active_cells_from_coarse(
         jnp.asarray(vol), jnp.zeros((8,), jnp.int32), jnp.int32(0),
         iso=0.0, stride=4, bcap=768)
     assert int(ov) > 0
