@@ -54,15 +54,22 @@ def kernel_enabled(cfg: Config, fold: str, stride: int, fine_r: int,
     return ok
 
 
-def tiles_for(fine_r: int) -> tuple[int, int]:
-    """(TX, TY) so a stride-4 cell's projected footprint (~box_px * 4 /
-    (fine_r-1), box_px <~ 137) fits the tile after 8-aligning the y origin."""
+def tiles_for(fine_r: int) -> tuple[int, int, int]:
+    """(TX, TY, CB) so a stride-4 cell's projected footprint (~box_px * 4 /
+    (fine_r-1), box_px <~ 137) fits the tile after 8-aligning the y origin.
+
+    Tiles are sized for the TYPICAL footprint, not the worst case:
+    perspective-magnified near-camera cells that overflow are caught by the
+    per-cell escape flag and re-decoded exactly (the rescue loop), so a
+    tight tile trades a little rescue work for a much cheaper main launch —
+    at the 65^3 coarse pass (cells=16, footprint ~9 px) the (24,32)-tile
+    launch ran 11.2 ms vs 7.5 for (16,24)+cb64 (round-3 probe, 4096 cells)."""
     cells = (fine_r - 1) // STRIDE
     if cells >= 48:
-        return 8, 16
-    if cells >= 24:
-        return 16, 24
-    return 24, 32
+        return 8, 16, 32
+    if cells >= 12:
+        return 16, 24, 64
+    return 24, 32, 32
 
 
 def _cell_points(cell_ids: jnp.ndarray, coarse_c: int, fine_r: int,
@@ -108,7 +115,7 @@ def decode_cells(params: Params, endpoints: dict, trans_mat: jnp.ndarray,
         esc_cap = max(256, min(n // 2, 8192))
     esc_cap = -(-esc_cap // 256) * 256
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    tx_t, ty_t = tiles_for(fine_r)
+    tx_t, ty_t, cb = tiles_for(fine_r)
     interpret = jax.default_backend() != "tpu"
 
     m2d = pallas_fused.prep_map(endpoints["fold137"], ty_t)
@@ -117,7 +124,7 @@ def decode_cells(params: Params, endpoints: dict, trans_mat: jnp.ndarray,
     raw, esc = pallas_fused.fused_cell_decode(
         m2d, wpack, trans_mat, sdf_params, cell_ids,
         stride=STRIDE, fine_r=fine_r, coarse_c=coarse_c,
-        tx_t=tx_t, ty_t=ty_t, cb=32, img_w=cfg.img_w, img_h=cfg.img_h,
+        tx_t=tx_t, ty_t=ty_t, cb=cb, img_w=cfg.img_w, img_h=cfg.img_h,
         out_dim=out_dim, interpret=interpret)
     pred = raw[None]  # [1, n*K, O]
     if cfg.tanh:
