@@ -163,7 +163,7 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     # the tunnel at production counts
     pred = _SPEC_CACHE.get(ctx["key"])
     if pred is not None:
-        nb_p, ni_p = pred
+        nb_p, ni_p, nv_p = pred
         vol, esc_b, ids, ncd, gov_d, blk_d = _run_pbm(ctx, nb_p)
         ni_p, batch_p = marching_mod.records_n_iter(
             int(ids.shape[0]), ni_p * ctx["batch"], ctx["batch"])
@@ -174,10 +174,22 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         # tunnel and contend with the corrective work — an accepted cost
         # of the rare path (a hit saves ~25 ms every image; a miss pays
         # ~1 MB of dead transfer once per workload density transition)
+        if nv_p is not None:
+            # vertex count predicted too: ship only the crossing edges' t
+            # parameters (vertex order), ~nv bytes instead of S*D
+            nvcap = marching_mod._qbucket(max(4, int(nv_p * 1.15)))
+            tqc_d, nv_d = marching_mod._compact_tq(rec_d, tq_d, nvcap)
+            futs = marching_mod.records_start_fetch_compact(
+                rec_d, tqc_d, blk_d)
+            ctx.update(mode="compact", nv=(nv_d, nvcap))
+        else:
+            nv_d = marching_mod._count_cross(rec_d)
+            futs = marching_mod.records_start_fetch_masked(
+                rec_d, tq_d, blk_d)
+            ctx.update(mode="masked", nv=(nv_d, None))
         ctx.update(pred=(nb_p, ni_p, batch_p),
                    pbm=(vol, esc_b, ids, ncd, gov_d),
-                   futs=marching_mod.records_start_fetch_masked(
-                       rec_d, tq_d, blk_d))
+                   futs=futs)
     return ctx
 
 
@@ -204,30 +216,40 @@ def _fused_collect(ctx: dict, defer: bool = False
         nb_p, ni_p, batch_p = ctx["pred"]
         vol, esc_b, ids, ncd, gov_d = ctx["pbm"]
         futs = ctx["futs"]
-        c, ea, eb, nc, gov = (int(x) for x in jax.device_get(
-            (count, esc_a, esc_b, ncd, gov_d)))
+        nv_d, nvcap = ctx["nv"]
+        c, ea, eb, nc, gov, nv = (int(x) for x in jax.device_get(
+            (count, esc_a, esc_b, ncd, gov_d, nv_d)))
         if c > sizes["cell_cap"] or ea > 0:
             return None
+        covered = ni_p * batch_p >= nc
+        # nv is trustworthy only when the record slots covered nc (else the
+        # compaction ran over a truncated slot set and undercounts)
         _SPEC_CACHE[key] = (_needed_blocks(c, sizes),
                             marching_mod.records_n_iter(
-                                int(ids.shape[0]), nc, batch)[0])
+                                int(ids.shape[0]), nc, batch)[0],
+                            nv if covered else None)
         if nb_p >= _exact_blocks(c, sizes):
             # prediction covered the work: the speculative results are the
             # exact results (padded slots were masked in-kernel)
             if eb > 0:
                 return None
             if gov <= 0:
-                if ni_p * batch_p >= nc:
+                if covered and (nvcap is None or nv <= nvcap):
+                    if ctx["mode"] == "compact":
+                        fin = lambda: marching_mod.records_finish_compact(  # noqa: E731,E501
+                            futs, sdf_params, nc, nv, R)()
+                    else:
+                        fin = lambda: marching_mod.records_finish_masked(  # noqa: E731,E501
+                            futs, sdf_params, nc, R)()
                     if defer:
                         # the farm joins the in-flight fetches on a writer
                         # thread: the main thread moves on to the next
                         # image while these records land
-                        return (lambda: marching_mod.records_finish_masked(
-                            futs, sdf_params, nc, R)())
-                    return marching_mod.records_finish_masked(
-                        futs, sdf_params, nc, R)()
-                # record bucket under-predicted: re-run ONLY the record
-                # pass at the exact bucket (ids/vol still on device)
+                        return fin
+                    return fin()
+                # record bucket (or compact-tq vertex bucket) under-
+                # predicted: re-run ONLY the record pass at the exact
+                # bucket (ids/vol still on device)
                 fetch = marching_mod.extract_mesh_records_deferred(
                     vol, sdf_params, ids, nc, iso=iso, join=not defer)
                 return fetch if defer else fetch()
@@ -245,7 +267,7 @@ def _fused_collect(ctx: dict, defer: bool = False
             # next image's record pass too (round-3 review)
             _SPEC_CACHE[key] = (_needed_blocks(c, sizes),
                                 marching_mod.records_n_iter(
-                                    int(ids.shape[0]), nc, batch)[0])
+                                    int(ids.shape[0]), nc, batch)[0], None)
             if eb > 0:
                 return None
             if gov <= 0:
@@ -261,7 +283,7 @@ def _fused_collect(ctx: dict, defer: bool = False
         vol, esc_b, ids, ncd, gov_d, _ = _run_pbm(ctx, nb)
         eb, nc, gov = (int(x) for x in jax.device_get((esc_b, ncd, gov_d)))
         _SPEC_CACHE[key] = (nb, marching_mod.records_n_iter(
-            int(ids.shape[0]), nc, batch)[0])
+            int(ids.shape[0]), nc, batch)[0], None)
         if eb > 0:
             return None
         if gov <= 0:

@@ -1110,19 +1110,49 @@ def make_sharded_records_fn(mesh, R: int, *, iso: float, n_iter: int,
     return fn, per_dev * n_dev * batch
 
 
+@jax.jit
+def _count_cross(rec: jnp.ndarray) -> jnp.ndarray:
+    """Total crossing edges (== vertex count) across all record slots."""
+    return jnp.sum(jax.lax.population_count(rec.astype(jnp.int32) >> 8))
+
+
+@functools.partial(jax.jit, static_argnames=("nvcap",))
+def _compact_tq(rec: jnp.ndarray, tq: jnp.ndarray, nvcap: int
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Keep only the CROSSING edges' t parameters, in vertex order
+    (slot-major, direction-minor — exactly the order the assemblers emit
+    vertices), so the tq stream ships nv bytes instead of S*D (~2.5-3x
+    fewer at production crossing densities). Returns (tqc [nvcap], nv);
+    nv > nvcap means the bucket under-predicted — the caller re-runs the
+    uncompacted path (rare: buckets carry a margin and repeat shapes)."""
+    S, D = tq.shape
+    cross = ((rec.astype(jnp.int32)[:, None]
+              >> (8 + jnp.arange(D, dtype=jnp.int32))[None, :]) & 1) > 0
+    flat = cross.reshape(-1)
+    cs = jnp.cumsum(flat.astype(jnp.int32))
+    idx = jnp.where(flat, cs - 1, nvcap)
+    tqc = jnp.zeros((nvcap,), tq.dtype).at[idx].set(tq.reshape(-1),
+                                                    mode="drop")
+    return tqc, cs[-1]
+
+
 def assemble_mesh_np(ids: np.ndarray, recs: np.ndarray, tqs: np.ndarray,
-                     n_cells: int, R: int, sdf_params
+                     n_cells: int, R: int, sdf_params,
+                     tq_compact: bool = False
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized-numpy assembler for _extract_records output: the exact
     owned-edge vertex order (slot-major, direction-minor) and triangle
     tables the device two-pass extractor uses, so meshes are identical.
-    Oracle for the native C fast path (native/meshassemble.cpp)."""
+    Oracle for the native C fast path (native/meshassemble.cpp).
+
+    tq_compact=True: tqs is the _compact_tq stream — one entry per
+    CROSSING edge in vertex order, instead of [slots, D]."""
     pair_i, pair_j, nb_tbl, dir_tbl = _owned_tables()
     D = len(pair_i)
     E = R
     ids = np.asarray(ids[:n_cells], np.int64)
     recs = np.asarray(recs[:n_cells], np.uint32)
-    tqs = np.asarray(tqs[:n_cells])
+    tqs = np.asarray(tqs if tq_compact else tqs[:n_cells])
     if tqs.dtype == np.uint8:  # exact range map, see _tq_bits
         tqs = tqs.astype(np.uint16) * np.uint16(257)
     tqs = tqs.astype(np.uint16)
@@ -1146,7 +1176,11 @@ def assemble_mesh_np(ids: np.ndarray, recs: np.ndarray, tqs: np.ndarray,
     gj = np.minimum(cc + CORNERS[pair_j[sel_dir]], R - 1)
     pi = lo + gi.astype(np.float32) / (R - 1) * (hi - lo)
     pj = lo + gj.astype(np.float32) / (R - 1) * (hi - lo)
-    t = tqs[sel_cell, sel_dir].astype(np.float32) / np.float32(65535.0)
+    if tq_compact:
+        # vertex order == nonzero(cross) row-major == the compact stream
+        t = tqs[:nv].astype(np.float32) / np.float32(65535.0)
+    else:
+        t = tqs[sel_cell, sel_dir].astype(np.float32) / np.float32(65535.0)
     verts = pi + t[:, None] * (pj - pi)
     assert len(verts) == nv
 
@@ -1316,6 +1350,59 @@ def records_start_fetch_masked(rec_d, tq_d, blk_d):
     parts = (_slice_span(tq_d, 0, t0), _slice_span(tq_d, t0, t1),
              _slice_span(tq_d, t1, S), blk_d, rec_d)
     return [pool.submit(np.asarray, x) for x in parts]
+
+
+def records_start_fetch_compact(rec_d, tqc_d, blk_d):
+    """Fetch plan for the compact record path: tq carries only CROSSING
+    edges (vertex order, ~nv bytes instead of S*D — see _compact_tq), so
+    the per-image transfer is ~470 KB instead of ~870. Five streams (tqc
+    x2 + rec x2 + blk) keep the tunnel at its >=4-stream aggregate.
+    Returns futures [tqc0, tqc1, rec0, rec1, blk]."""
+    S = int(rec_d.shape[0])
+    V = int(tqc_d.shape[0])
+    pool = _get_fetch_pool()
+    parts = (_slice_span(tqc_d, 0, V // 2), _slice_span(tqc_d, V // 2, V),
+             _slice_span(rec_d, 0, S // 2), _slice_span(rec_d, S // 2, S),
+             blk_d)
+    return [pool.submit(np.asarray, x) for x in parts]
+
+
+def records_finish_compact(futs, sdf_params, n_cells: int, nv: int, R: int):
+    """Join the compact-path fetches -> zero-argument assembly closure
+    (faces overlap the tq tail on multi-core hosts, exactly like
+    records_finish_masked; the caller must have validated nv <= nvcap)."""
+    import os
+    overlap = (os.cpu_count() or 1) > 1
+
+    def assemble():
+        if not overlap:
+            for f in futs:
+                f.result()
+        blk_np = futs[4].result()
+        recs = np.concatenate([futs[2].result(), futs[3].result()])
+        try:
+            from disn_tpu import native
+            ids_np, n = native.mesh_expand_ids(blk_np, R)
+            if n != n_cells:
+                raise RuntimeError(
+                    f"mask expansion produced {n} cells, scan counted "
+                    f"{n_cells} (corrupt record stream)")
+            faces = native.mesh_faces(ids_np, recs, n_cells, R)
+            tqc = np.concatenate([futs[0].result(), futs[1].result()])
+            verts = native.mesh_verts_compact(
+                ids_np, recs, tqc, n_cells, nv, R,
+                np.asarray(sdf_params, np.float32))
+            return verts, faces
+        except (OSError, CalledProcessError):
+            ids_np, n = expand_block_ids_np(blk_np, R)
+            assert n == n_cells, (n, n_cells)
+            tqc = np.concatenate([futs[0].result(), futs[1].result()])
+            if tqc.dtype == np.uint8:
+                tqc = tqc.astype(np.uint16) * np.uint16(257)
+            return assemble_mesh_np(ids_np, recs, tqc, n_cells, R,
+                                    sdf_params, tq_compact=True)
+
+    return assemble
 
 
 def records_finish_masked(futs, sdf_params, n_cells: int, R: int):

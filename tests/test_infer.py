@@ -369,6 +369,45 @@ def test_steep_field_autocal():
     np.testing.assert_array_equal(on11[1], want11[1])
 
 
+def test_speculative_ladder_reaches_compact_mode():
+    """Consecutive same-config images climb the speculation ladder:
+    image 1 seeds the bucket cache (sequential), image 2 runs the masked
+    predicted path and learns nv, image 3+ runs the COMPACT path (crossing-
+    only tq stream). Every rung must produce the identical welded mesh."""
+    import numpy as np
+    from disn_tpu.data import synthetic
+    from disn_tpu.infer import pipeline
+
+    cfg = synthetic.tiny_config(sdf_res=64, num_classes=32, width_mult=0.125,
+                                compute_dtype="float32")
+    # wide autocal band at a small coarse grid: raise the cap so the
+    # sparse fast path engages instead of falling back
+    cfg = cfg.replace(cell_cap_frac=0.9)
+    params = synthetic.analytic_octahedron_params(cfg, r=0.6)
+    rng = np.random.RandomState(0)
+    trans = synthetic.demo_trans_mat()
+    sdfp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    pipeline._SPEC_CACHE.clear()
+
+    meshes = []
+    modes = []
+    for i in range(4):
+        img = rng.rand(1, 137, 137, 3).astype(np.float32)
+        ctx = pipeline._fused_dispatch(params, img, trans, sdfp, cfg,
+                                       iso=cfg.iso)
+        modes.append(ctx.get("mode"))
+        out = pipeline._fused_collect(ctx)
+        assert out is not None
+        meshes.append(out)
+    assert modes[0] is None          # sequential seed
+    assert modes[1] == "masked"      # bucket prediction, nv unknown
+    assert modes[2] == "compact"     # nv predicted: crossing-only tq
+    assert modes[3] == "compact"
+    for v, f in meshes[1:]:
+        np.testing.assert_array_equal(f, meshes[0][1])
+        np.testing.assert_allclose(v, meshes[0][0], atol=2e-5)
+
+
 def test_image_to_mesh_fused_matches_unfused():
     """The fused production driver (scan inside phase_b, extraction from the
     precomputed cell list) produces the SAME welded mesh as the two-step

@@ -282,6 +282,27 @@ def test_masked_records_path_matches_owned(cores, monkeypatch):
     cell = 2.0 / (R - 1)
     assert np.abs(av - ev).max() <= cell / 65535 + 1e-6
 
+    # compact-tq variant: vertex-ordered crossing-only t stream
+    nv = int(marching._count_cross(rec_d))
+    assert nv == len(ev)
+    nvcap = marching._qbucket(max(4, int(nv * 1.15)))
+    tqc_d, nv_d = marching._compact_tq(rec_d, tq_d, nvcap)
+    assert int(nv_d) == nv
+    futs = marching.records_start_fetch_compact(rec_d, tqc_d, blk)
+    cv, cf = marching.records_finish_compact(futs, PARAMS, nc, nv, R)()
+    np.testing.assert_array_equal(cf, ef)
+    np.testing.assert_array_equal(cv, av)
+    # numpy-oracle compact assembler agrees too
+    tqc = np.asarray(tqc_d)
+    if tqc.dtype == np.uint8:
+        tqc = tqc.astype(np.uint16) * np.uint16(257)
+    ov_, of_ = marching.assemble_mesh_np(
+        np.asarray(ids)[:nc], np.asarray(rec_d), tqc, nc, R, PARAMS,
+        tq_compact=True)
+    np.testing.assert_array_equal(of_, ef)
+    # oracle interpolates in f32, native in double: one-ulp drift allowed
+    np.testing.assert_allclose(ov_, av, atol=2e-7)
+
 
 @pytest.mark.parametrize("r", [0.6, 1.3])
 def test_candidate_scan_matches_full_scan(r):
