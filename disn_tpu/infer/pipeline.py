@@ -183,13 +183,20 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                 rec_d, tqc_d, blk_d)
             ctx.update(mode="compact", nv=(nv_d, nvcap))
         else:
+            nvcap = None
             nv_d = marching_mod._count_cross(rec_d)
             futs = marching_mod.records_start_fetch_masked(
                 rec_d, tq_d, blk_d)
             ctx.update(mode="masked", nv=(nv_d, None))
+        # optimistic assembly: builds the mesh on a background thread as
+        # soon as the fetches land — concurrently with the validation
+        # scalars' round trip in _fused_collect, which then only accepts
+        # (common) or discards (rare fallback) the result
+        opt = marching_mod.records_assemble_speculative(
+            futs, sdf_params, cfg.grid_resolution, ctx["mode"], nvcap)
         ctx.update(pred=(nb_p, ni_p, batch_p),
                    pbm=(vol, esc_b, ids, ncd, gov_d),
-                   futs=futs)
+                   futs=futs, opt=opt)
     return ctx
 
 
@@ -217,9 +224,11 @@ def _fused_collect(ctx: dict, defer: bool = False
         vol, esc_b, ids, ncd, gov_d = ctx["pbm"]
         futs = ctx["futs"]
         nv_d, nvcap = ctx["nv"]
+        opt_fut, opt_cancel = ctx["opt"]
         c, ea, eb, nc, gov, nv = (int(x) for x in jax.device_get(
             (count, esc_a, esc_b, ncd, gov_d, nv_d)))
         if c > sizes["cell_cap"] or ea > 0:
+            opt_cancel.set()
             return None
         covered = ni_p * batch_p >= nc
         # nv is trustworthy only when the record slots covered nc (else the
@@ -232,14 +241,26 @@ def _fused_collect(ctx: dict, defer: bool = False
             # prediction covered the work: the speculative results are the
             # exact results (padded slots were masked in-kernel)
             if eb > 0:
+                opt_cancel.set()
                 return None
             if gov <= 0:
                 if covered and (nvcap is None or nv <= nvcap):
-                    if ctx["mode"] == "compact":
-                        fin = lambda: marching_mod.records_finish_compact(  # noqa: E731,E501
-                            futs, sdf_params, nc, nv, R)()
-                    else:
-                        fin = lambda: marching_mod.records_finish_masked(  # noqa: E731,E501
+                    def fin(nc=nc, nv=nv, mode=ctx["mode"]):
+                        # the optimistic assembly has been running since
+                        # the fetches landed (concurrent with the scalar
+                        # sync above); its self-derived counts must agree
+                        # with the device's
+                        res = opt_fut.result()
+                        if res is not None:
+                            verts, faces, n_o, nv_o = res
+                            if n_o == nc and nv_o == nv:
+                                return verts, faces
+                        # self-check bailed or disagreed (shouldn't happen
+                        # when covered): exact synchronous join
+                        if mode == "compact":
+                            return marching_mod.records_finish_compact(
+                                futs, sdf_params, nc, nv, R)()
+                        return marching_mod.records_finish_masked(
                             futs, sdf_params, nc, R)()
                     if defer:
                         # the farm joins the in-flight fetches on a writer
@@ -250,12 +271,15 @@ def _fused_collect(ctx: dict, defer: bool = False
                 # record bucket (or compact-tq vertex bucket) under-
                 # predicted: re-run ONLY the record pass at the exact
                 # bucket (ids/vol still on device)
+                opt_cancel.set()
                 fetch = marching_mod.extract_mesh_records_deferred(
                     vol, sdf_params, ids, nc, iso=iso, join=not defer)
                 return fetch if defer else fetch()
             # gov > 0 with a consistent bcap: genuine group overflow ->
             # full-volume rescan fallback below
+            opt_cancel.set()
         else:
+            opt_cancel.set()
             # under-predicted block bucket: phase-b covered only part of
             # the active set — re-run it at the exact bucket
             vol, esc_b, ids, ncd, gov_d, _ = _run_pbm(
