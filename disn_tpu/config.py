@@ -142,6 +142,11 @@ class Config:
     # the surface crosses — see infer/sparse.py and
     # tests/test_infer.py::test_steep_field_autocal (round-2 verdict #2)
     cell_cap_frac: float = 0.25      # active-cell cap / total coarse cells
+    compact_tq: bool = True          # once the speculation cache has
+    # learned a vertex-count prediction, ship only the CROSSING edges' t
+    # parameters (vertex order, ~nv bytes) instead of the full [slots, D]
+    # stream — trades a device-side compaction scatter for ~45% fewer
+    # record bytes on the tunnel; False pins the masked full-tq stream
 
     # ---- inference ---------------------------------------------------------
     iso: float = 0.0               # marching-cubes iso surface at inference

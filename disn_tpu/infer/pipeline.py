@@ -167,26 +167,29 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         vol, esc_b, ids, ncd, gov_d, blk_d = _run_pbm(ctx, nb_p)
         ni_p, batch_p = marching_mod.records_n_iter(
             int(ids.shape[0]), ni_p * ctx["batch"], ctx["batch"])
-        rec_d, tq_d, _ = marching_mod.records_dispatch(
-            vol, ids, ncd, iso=iso, n_iter=ni_p, batch=batch_p)
         # NOTE: these fetch futures cannot be cancelled mid-transfer; on a
         # misprediction or fallback the abandoned bytes still cross the
         # tunnel and contend with the corrective work — an accepted cost
         # of the rare path (a hit saves ~25 ms every image; a miss pays
         # ~1 MB of dead transfer once per workload density transition)
-        if nv_p is not None:
+        if nv_p is not None and cfg.compact_tq:
             # vertex count predicted too: ship only the crossing edges' t
-            # parameters (vertex order), ~nv bytes instead of S*D
+            # parameters (vertex order), ~nv bytes instead of S*D; the
+            # record pass, compaction, and fetch splits ride ONE dispatch
             nvcap = marching_mod._qbucket(max(4, int(nv_p * 1.15)))
-            tqc_d, nv_d = marching_mod._compact_tq(rec_d, tq_d, nvcap)
-            futs = marching_mod.records_start_fetch_compact(
-                rec_d, tqc_d, blk_d)
+            rec0, rec1, tqc0, tqc1, nv_d = \
+                marching_mod._records_compact_split(
+                    vol, ids, ncd, iso=float(iso), n_iter=ni_p,
+                    batch=batch_p, nvcap=nvcap)
+            futs = marching_mod.records_submit(
+                (tqc0, tqc1, rec0, rec1, blk_d))
             ctx.update(mode="compact", nv=(nv_d, nvcap))
         else:
             nvcap = None
-            nv_d = marching_mod._count_cross(rec_d)
-            futs = marching_mod.records_start_fetch_masked(
-                rec_d, tq_d, blk_d)
+            rec_d, tq0, tq1, tq2, nv_d = marching_mod._records_masked_split(
+                vol, ids, ncd, iso=float(iso), n_iter=ni_p, batch=batch_p)
+            futs = marching_mod.records_submit(
+                (tq0, tq1, tq2, blk_d, rec_d))
             ctx.update(mode="masked", nv=(nv_d, None))
         # optimistic assembly: builds the mesh on a background thread as
         # soon as the fetches land — concurrently with the validation

@@ -1136,6 +1136,45 @@ def _compact_tq(rec: jnp.ndarray, tq: jnp.ndarray, nvcap: int
     return tqc, cs[-1]
 
 
+@functools.partial(jax.jit, static_argnames=("iso", "n_iter", "batch"))
+def _records_masked_split(volume, cell_ids, n_cells, *, iso: float,
+                          n_iter: int, batch: int):
+    """Record pass + fetch plan in ONE dispatch: tq pre-split in 3 (the
+    five-stream fetch layout) and the crossing count, replacing a record
+    jit + a count jit + 3 slice jits of per-image dispatch work on the
+    single-core production host (~0.5 ms of python+enqueue each).
+    Returns (rec, tq0, tq1, tq2, nv)."""
+    rec, tq = _extract_records(volume, cell_ids, n_cells, iso=iso,
+                               n_iter=n_iter, batch=batch)
+    S = n_iter * batch
+    t0, t1 = S // 3, 2 * S // 3
+    nv = _count_cross(rec)
+    return rec, tq[:t0], tq[t0:t1], tq[t1:], nv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iso", "n_iter", "batch", "nvcap"))
+def _records_compact_split(volume, cell_ids, n_cells, *, iso: float,
+                           n_iter: int, batch: int, nvcap: int):
+    """Record pass + crossing-only tq compaction + fetch plan in ONE
+    dispatch (see _records_masked_split / _compact_tq). Returns
+    (rec0, rec1, tqc0, tqc1, nv); nv > nvcap means the tqc stream is
+    truncated and the caller must re-run uncompacted."""
+    rec, tq = _extract_records(volume, cell_ids, n_cells, iso=iso,
+                               n_iter=n_iter, batch=batch)
+    tqc, nv = _compact_tq(rec, tq, nvcap)
+    S = n_iter * batch
+    return rec[:S // 2], rec[S // 2:], tqc[:nvcap // 2], tqc[nvcap // 2:], nv
+
+
+def records_submit(parts):
+    """Start the device->host fetch of already-split record buffers on the
+    shared pool (>=4 concurrent streams sustain ~52 MB/s aggregate vs ~22
+    single-stream on the tunnel). Returns futures in `parts` order."""
+    pool = _get_fetch_pool()
+    return [pool.submit(np.asarray, x) for x in parts]
+
+
 def assemble_mesh_np(ids: np.ndarray, recs: np.ndarray, tqs: np.ndarray,
                      n_cells: int, R: int, sdf_params,
                      tq_compact: bool = False
