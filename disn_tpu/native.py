@@ -81,6 +81,15 @@ def _load() -> ctypes.CDLL:
         ]
         lib.mesh_verts_compact.restype = ctypes.c_int64
         lib.mesh_verts_compact.argtypes = list(lib.mesh_verts.argtypes)
+        lib.mesh_faces_blocks.restype = ctypes.c_int64
+        lib.mesh_faces_blocks.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ] + [ctypes.POINTER(ctypes.c_int32)] * 6
         _lib = lib
         return lib
 
@@ -133,6 +142,39 @@ def mesh_faces(ids: np.ndarray, recs: np.ndarray, n_cells: int, R: int
         faces.ctypes.data_as(i32p))
     if ntri < 0:
         raise RuntimeError(f"mesh_faces failed (rc={ntri})")
+    return faces[:ntri].copy()
+
+
+def mesh_faces_blocks(blk: np.ndarray, recs: np.ndarray, n_cells: int,
+                      R: int, S: int = 4) -> np.ndarray:
+    """Faces pass driven by the scan's (block id, 64-bit mask) rows —
+    neighbor slots by mask-popcount arithmetic, no id list needed (see
+    meshassemble.cpp). Drop-in faster replacement for mesh_expand_ids +
+    mesh_faces on the assembly hot path."""
+    from disn_tpu.ops.marching import CORNERS, TETS, _owned_tables, _tables
+
+    lib = _load()
+    pair_i, _, nb_tbl, dir_tbl = _owned_tables()
+    D = len(pair_i)
+    blk = np.ascontiguousarray(blk, np.int32)
+    recs = np.ascontiguousarray(recs[:n_cells], np.uint32)
+    i32c = lambda a: np.ascontiguousarray(a, np.int32)  # noqa: E731
+    tables = [i32c(CORNERS), i32c(TETS), i32c(_tables()[1]), i32c(nb_tbl),
+              i32c(dir_tbl)]
+    bids = np.ascontiguousarray(blk[:, 0])
+    mlo = np.ascontiguousarray(blk[:, 1]).view(np.uint32)
+    mhi = np.ascontiguousarray(blk[:, 2]).view(np.uint32)
+    faces = np.empty((n_cells * 12, 3), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    ntri = lib.mesh_faces_blocks(
+        bids.ctypes.data_as(i32p), mlo.ctypes.data_as(u32p),
+        mhi.ctypes.data_as(u32p), np.int32(len(blk)),
+        recs.ctypes.data_as(u32p), np.int32(n_cells), np.int32(R),
+        np.int32(D), *[t.ctypes.data_as(i32p) for t in tables],
+        faces.ctypes.data_as(i32p))
+    if ntri < 0:
+        raise RuntimeError(f"mesh_faces_blocks failed (rc={ntri})")
     return faces[:ntri].copy()
 
 

@@ -1426,7 +1426,7 @@ def records_finish_compact(futs, sdf_params, n_cells: int, nv: int, R: int):
                 raise RuntimeError(
                     f"mask expansion produced {n} cells, scan counted "
                     f"{n_cells} (corrupt record stream)")
-            faces = native.mesh_faces(ids_np, recs, n_cells, R)
+            faces = native.mesh_faces_blocks(blk_np, recs, n_cells, R)
             tqc = np.concatenate([futs[0].result(), futs[1].result()])
             verts = native.mesh_verts_compact(
                 ids_np, recs, tqc, n_cells, nv, R,
@@ -1473,7 +1473,7 @@ def records_finish_masked(futs, sdf_params, n_cells: int, R: int):
                 raise RuntimeError(
                     f"mask expansion produced {n} cells, scan counted "
                     f"{n_cells} (corrupt record stream)")
-            faces = native.mesh_faces(ids_np, recs, n_cells, R)
+            faces = native.mesh_faces_blocks(blk_np, recs, n_cells, R)
             tq_np = np.concatenate([f.result() for f in futs[:3]])
             verts = native.mesh_verts(ids_np, recs, tq_np, n_cells, R,
                                       np.asarray(sdf_params, np.float32))
@@ -1564,7 +1564,7 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
         if mode == "compact":
             tq = np.concatenate([futs[0].result(), futs[1].result()])
             if use_native:
-                faces = native.mesh_faces(ids_np, recs, n, R)
+                faces = native.mesh_faces_blocks(blk_np, recs, n, R)
                 verts = native.mesh_verts_compact(ids_np, recs, tq, n, nv,
                                                   R, sdf_f)
             else:
@@ -1575,7 +1575,7 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
         else:
             tq = np.concatenate([f.result() for f in futs[:3]])
             if use_native:
-                faces = native.mesh_faces(ids_np, recs, n, R)
+                faces = native.mesh_faces_blocks(blk_np, recs, n, R)
                 verts = native.mesh_verts(ids_np, recs, tq, n, R, sdf_f)
             else:
                 if tq.dtype == np.uint8:
