@@ -90,6 +90,21 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ] + [ctypes.POINTER(ctypes.c_int32)] * 6
+        lib.mesh_verts_blocks.restype = ctypes.c_int64
+        lib.mesh_verts_blocks.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return lib
 
@@ -176,6 +191,50 @@ def mesh_faces_blocks(blk: np.ndarray, recs: np.ndarray, n_cells: int,
     if ntri < 0:
         raise RuntimeError(f"mesh_faces_blocks failed (rc={ntri})")
     return faces[:ntri].copy()
+
+
+def mesh_verts_blocks(blk: np.ndarray, recs: np.ndarray, tq: np.ndarray,
+                      n_cells: int, R: int, bbox: np.ndarray,
+                      compact: bool = False, nv: int | None = None
+                      ) -> np.ndarray:
+    """Verts pass driven by the scan's block rows — cell coordinates come
+    from the block walk, so no expanded id list is needed. compact=True
+    reads tq as the crossing-only vertex-order stream (pass nv for output
+    sizing and validation); otherwise tq is slot-dense [n_cells, D]."""
+    from disn_tpu.ops.marching import CORNERS, _owned_tables
+
+    lib = _load()
+    pair_i, pair_j, _, _ = _owned_tables()
+    D = len(pair_i)
+    blk = np.ascontiguousarray(blk, np.int32)
+    recs = np.ascontiguousarray(recs[:n_cells], np.uint32)
+    tq = np.asarray(tq if compact else tq[:n_cells])
+    if tq.dtype == np.uint8:  # exact u8 range map (see marching._tq_bits)
+        tq = tq.astype(np.uint16) * np.uint16(257)
+    tq = np.ascontiguousarray(tq, np.uint16)
+    i32c = lambda a: np.ascontiguousarray(a, np.int32)  # noqa: E731
+    tables = [i32c(pair_i), i32c(pair_j), i32c(CORNERS)]
+    bbox_f = np.ascontiguousarray(bbox, np.float32)
+    cap = max(nv, 1) if compact and nv is not None else n_cells * D
+    verts = np.empty((max(cap, 1), 3), np.float32)
+    bids = np.ascontiguousarray(blk[:, 0])
+    mlo = np.ascontiguousarray(blk[:, 1]).view(np.uint32)
+    mhi = np.ascontiguousarray(blk[:, 2]).view(np.uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    got = lib.mesh_verts_blocks(
+        bids.ctypes.data_as(i32p), mlo.ctypes.data_as(u32p),
+        mhi.ctypes.data_as(u32p), np.int32(len(blk)),
+        recs.ctypes.data_as(u32p),
+        tq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        np.int32(1 if compact else 0), np.int32(n_cells), np.int32(R),
+        np.int32(D), *[t.ctypes.data_as(i32p) for t in tables],
+        bbox_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if compact and nv is not None and got != nv:
+        raise RuntimeError(f"mesh_verts_blocks emitted {got} verts, "
+                           f"records imply {nv}")
+    return verts[:got].copy()
 
 
 def mesh_verts(ids: np.ndarray, recs: np.ndarray, tq: np.ndarray,

@@ -1376,6 +1376,12 @@ def expand_block_ids_np(blk: np.ndarray, R: int, S: int = 4
     return ids, len(ids)
 
 
+def _mask_cell_count(blk: np.ndarray) -> int:
+    """Total cells encoded by the scan's (block id, 64-bit mask) rows."""
+    return int(np.bitwise_count(blk[:, 1].view(np.uint32)).sum()
+               + np.bitwise_count(blk[:, 2].view(np.uint32)).sum())
+
+
 def records_start_fetch_masked(rec_d, tq_d, blk_d):
     """Fetch plan for the masked record path: the per-cell id stream is
     replaced by the scan's compacted block rows (blk [b2cap,3] i32 — 12
@@ -1419,18 +1425,18 @@ def records_finish_compact(futs, sdf_params, n_cells: int, nv: int, R: int):
                 f.result()
         blk_np = futs[4].result()
         recs = np.concatenate([futs[2].result(), futs[3].result()])
+        n = _mask_cell_count(blk_np)
+        if n != n_cells:
+            raise RuntimeError(
+                f"block masks encode {n} cells, scan counted "
+                f"{n_cells} (corrupt record stream)")
         try:
             from disn_tpu import native
-            ids_np, n = native.mesh_expand_ids(blk_np, R)
-            if n != n_cells:
-                raise RuntimeError(
-                    f"mask expansion produced {n} cells, scan counted "
-                    f"{n_cells} (corrupt record stream)")
             faces = native.mesh_faces_blocks(blk_np, recs, n_cells, R)
             tqc = np.concatenate([futs[0].result(), futs[1].result()])
-            verts = native.mesh_verts_compact(
-                ids_np, recs, tqc, n_cells, nv, R,
-                np.asarray(sdf_params, np.float32))
+            verts = native.mesh_verts_blocks(
+                blk_np, recs, tqc, n_cells, R,
+                np.asarray(sdf_params, np.float32), compact=True, nv=nv)
             return verts, faces
         except (OSError, CalledProcessError):
             ids_np, n = expand_block_ids_np(blk_np, R)
@@ -1466,17 +1472,18 @@ def records_finish_masked(futs, sdf_params, n_cells: int, R: int):
                 f.result()
         blk_np = futs[3].result()
         recs = futs[4].result()
+        n = _mask_cell_count(blk_np)
+        if n != n_cells:
+            raise RuntimeError(
+                f"block masks encode {n} cells, scan counted "
+                f"{n_cells} (corrupt record stream)")
         try:
             from disn_tpu import native
-            ids_np, n = native.mesh_expand_ids(blk_np, R)
-            if n != n_cells:
-                raise RuntimeError(
-                    f"mask expansion produced {n} cells, scan counted "
-                    f"{n_cells} (corrupt record stream)")
             faces = native.mesh_faces_blocks(blk_np, recs, n_cells, R)
             tq_np = np.concatenate([f.result() for f in futs[:3]])
-            verts = native.mesh_verts(ids_np, recs, tq_np, n_cells, R,
-                                      np.asarray(sdf_params, np.float32))
+            verts = native.mesh_verts_blocks(
+                blk_np, recs, tq_np, n_cells, R,
+                np.asarray(sdf_params, np.float32))
             return verts, faces
         except (OSError, CalledProcessError):
             ids_np, n = expand_block_ids_np(blk_np, R)
@@ -1550,10 +1557,7 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
             native._load()
         except (OSError, CalledProcessError):
             use_native = False
-        if use_native:
-            ids_np, n = native.mesh_expand_ids(blk_np, R)
-        else:
-            ids_np, n = expand_block_ids_np(blk_np, R)
+        n = _mask_cell_count(blk_np)
         if n > len(recs):  # slots under-covered the scan: nv/records
             return None    # truncated — exact re-run handles it
         nv = int(np.bitwise_count(recs[:n] >> np.uint32(8)).sum())
@@ -1565,9 +1569,10 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
             tq = np.concatenate([futs[0].result(), futs[1].result()])
             if use_native:
                 faces = native.mesh_faces_blocks(blk_np, recs, n, R)
-                verts = native.mesh_verts_compact(ids_np, recs, tq, n, nv,
-                                                  R, sdf_f)
+                verts = native.mesh_verts_blocks(blk_np, recs, tq, n, R,
+                                                 sdf_f, compact=True, nv=nv)
             else:
+                ids_np, _ = expand_block_ids_np(blk_np, R)
                 if tq.dtype == np.uint8:
                     tq = tq.astype(np.uint16) * np.uint16(257)
                 verts, faces = assemble_mesh_np(ids_np, recs, tq, n, R,
@@ -1576,8 +1581,10 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
             tq = np.concatenate([f.result() for f in futs[:3]])
             if use_native:
                 faces = native.mesh_faces_blocks(blk_np, recs, n, R)
-                verts = native.mesh_verts(ids_np, recs, tq, n, R, sdf_f)
+                verts = native.mesh_verts_blocks(blk_np, recs, tq, n, R,
+                                                 sdf_f)
             else:
+                ids_np, _ = expand_block_ids_np(blk_np, R)
                 if tq.dtype == np.uint8:
                     tq = tq.astype(np.uint16) * np.uint16(257)
                 verts, faces = assemble_mesh_np(ids_np, recs, tq, n, R,

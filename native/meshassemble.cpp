@@ -393,6 +393,61 @@ int64_t mesh_faces_blocks(const int32_t* bids, const uint32_t* mlo,
   return ntri;
 }
 
+// Verts pass driven by the scan's block rows (cell coords come from the
+// block walk — no id list, no div/mod per cell). compact != 0 reads tq as
+// the crossing-only vertex-order stream (ops/marching._compact_tq);
+// otherwise tq is the slot-dense [n_cells, D] layout. Returns nv.
+int64_t mesh_verts_blocks(const int32_t* bids, const uint32_t* mlo,
+                          const uint32_t* mhi, int32_t n_blocks,
+                          const uint32_t* recs, const uint16_t* tq,
+                          int32_t compact, int32_t n_cells, int32_t R,
+                          int32_t D, const int32_t* pair_i,
+                          const int32_t* pair_j, const int32_t* corners,
+                          const float* bbox, float* out_verts) {
+  const int64_t E = R;
+  const int S = 4, s2 = 16;
+  const int64_t B3 = (E + S - 1) / S;
+  const double lo[3] = {bbox[0], bbox[1], bbox[2]};
+  const double span[3] = {bbox[3] - bbox[0], bbox[4] - bbox[1],
+                          bbox[5] - bbox[2]};
+  const double inv = 1.0 / (R - 1);
+  int64_t nv = 0;
+  int64_t i = 0;
+  for (int32_t b = 0; b < n_blocks && i < n_cells; ++b) {
+    const uint64_t m = (uint64_t)mlo[b] | ((uint64_t)mhi[b] << 32);
+    if (!m) continue;
+    const int64_t bid = bids[b];
+    const int64_t bz = bid / (B3 * B3), by = (bid / B3) % B3, bx = bid % B3;
+    const int64_t gx0 = bx * S, gy0 = by * S, gz0 = bz * S;
+    for (uint64_t mm = m; mm && i < n_cells; mm &= mm - 1, ++i) {
+      const int l = __builtin_ctzll(mm);
+      const int64_t cx = gx0 + l % S, cy = gy0 + (l / S) % S,
+                    cz = gz0 + l / s2;
+      const uint32_t cross = recs[i] >> 8;
+      for (int d = 0; d < D; ++d) {
+        if (!(cross >> d & 1u)) continue;
+        const int32_t* oi = corners + 3 * pair_i[d];
+        const int32_t* oj = corners + 3 * pair_j[d];
+        const double t =
+            (compact ? tq[nv] : tq[i * D + d]) * (1.0 / 65535.0);
+        const int64_t gi[3] = {std::min(cx + oi[0], E - 1),
+                               std::min(cy + oi[1], E - 1),
+                               std::min(cz + oi[2], E - 1)};
+        const int64_t gj[3] = {std::min(cx + oj[0], E - 1),
+                               std::min(cy + oj[1], E - 1),
+                               std::min(cz + oj[2], E - 1)};
+        for (int a = 0; a < 3; ++a) {
+          const double pi = lo[a] + gi[a] * inv * span[a];
+          const double pj = lo[a] + gj[a] * inv * span[a];
+          out_verts[nv * 3 + a] = (float)(pi + t * (pj - pi));
+        }
+        ++nv;
+      }
+    }
+  }
+  return nv;
+}
+
 // Verts pass with a COMPACT tq stream: tq[v] is the v-th vertex's edge
 // parameter (vertex order == slot-major/direction-minor crossing order —
 // ops/marching._compact_tq). Returns nv.
