@@ -79,8 +79,6 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
-        lib.mesh_verts_compact.restype = ctypes.c_int64
-        lib.mesh_verts_compact.argtypes = list(lib.mesh_verts.argtypes)
         lib.mesh_faces_blocks.restype = ctypes.c_int64
         lib.mesh_faces_blocks.argtypes = [
             ctypes.POINTER(ctypes.c_int32),
@@ -99,6 +97,7 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_uint16),
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
@@ -216,6 +215,9 @@ def mesh_verts_blocks(blk: np.ndarray, recs: np.ndarray, tq: np.ndarray,
     tables = [i32c(pair_i), i32c(pair_j), i32c(CORNERS)]
     bbox_f = np.ascontiguousarray(bbox, np.float32)
     cap = max(nv, 1) if compact and nv is not None else n_cells * D
+    if compact and len(tq) < cap:
+        raise RuntimeError(f"compact tq stream has {len(tq)} entries, "
+                           f"caller claims {cap} vertices")
     verts = np.empty((max(cap, 1), 3), np.float32)
     bids = np.ascontiguousarray(blk[:, 0])
     mlo = np.ascontiguousarray(blk[:, 1]).view(np.uint32)
@@ -228,12 +230,13 @@ def mesh_verts_blocks(blk: np.ndarray, recs: np.ndarray, tq: np.ndarray,
         recs.ctypes.data_as(u32p),
         tq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         np.int32(1 if compact else 0), np.int32(n_cells), np.int32(R),
-        np.int32(D), *[t.ctypes.data_as(i32p) for t in tables],
+        np.int32(D), np.int64(max(cap, 1)),
+        *[t.ctypes.data_as(i32p) for t in tables],
         bbox_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-    if compact and nv is not None and got != nv:
+    if got < 0 or (compact and nv is not None and got != nv):
         raise RuntimeError(f"mesh_verts_blocks emitted {got} verts, "
-                           f"records imply {nv}")
+                           f"records imply {nv} (corrupt record stream)")
     return verts[:got].copy()
 
 
@@ -331,41 +334,6 @@ def format_obj(verts: np.ndarray, faces: np.ndarray | None) -> memoryview:
     if n < 0:
         raise ValueError("format_obj buffer overflow")
     return memoryview(buf)[:n]
-
-
-def mesh_verts_compact(ids: np.ndarray, recs: np.ndarray, tqc: np.ndarray,
-                       n_cells: int, nv: int, R: int, bbox: np.ndarray
-                       ) -> np.ndarray:
-    """Verts pass consuming the COMPACT tq stream (one u8/u16 per crossing
-    edge in vertex order — marching._compact_tq)."""
-    from disn_tpu.ops.marching import CORNERS, _owned_tables
-
-    lib = _load()
-    pair_i, pair_j, _, _ = _owned_tables()
-    D = len(pair_i)
-    ids = np.ascontiguousarray(ids[:n_cells], np.int32)
-    recs = np.ascontiguousarray(recs[:n_cells], np.uint32)
-    tqc = np.asarray(tqc[:max(nv, 1)])
-    if tqc.dtype == np.uint8:  # exact u8 range map (see marching._tq_bits)
-        tqc = tqc.astype(np.uint16) * np.uint16(257)
-    tqc = np.ascontiguousarray(tqc, np.uint16)
-    i32c = lambda a: np.ascontiguousarray(a, np.int32)  # noqa: E731
-    tables = [i32c(pair_i), i32c(pair_j), i32c(CORNERS)]
-    bbox_f = np.ascontiguousarray(bbox, np.float32)
-    verts = np.empty((max(nv, 1), 3), np.float32)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    got = lib.mesh_verts_compact(
-        ids.ctypes.data_as(i32p),
-        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        tqc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        np.int32(n_cells), np.int32(R), np.int32(D),
-        *[t.ctypes.data_as(i32p) for t in tables],
-        bbox_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-    if got != nv:
-        raise RuntimeError(f"mesh_verts_compact emitted {got} verts, "
-                           f"records imply {nv}")
-    return verts[:got].copy()
 
 
 def compute_distance_field(verts: np.ndarray, faces: np.ndarray, res: int,

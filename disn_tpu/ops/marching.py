@@ -1412,89 +1412,81 @@ def records_start_fetch_compact(rec_d, tqc_d, blk_d):
     return [pool.submit(np.asarray, x) for x in parts]
 
 
-def records_finish_compact(futs, sdf_params, n_cells: int, nv: int, R: int):
-    """Join the compact-path fetches -> zero-argument assembly closure
-    (faces overlap the tq tail on multi-core hosts, exactly like
-    records_finish_masked; the caller must have validated nv <= nvcap)."""
+def _records_parts(futs, mode: str):
+    """(blk future, recs join, tq join) for a fetch-future list in the
+    masked ([tq0,tq1,tq2,blk,rec]) or compact ([tqc0,tqc1,rec0,rec1,blk])
+    stream layout. The joins are lazy closures so the faces pass (which
+    needs only blk+recs, the smallest streams) can overlap the in-flight
+    tq tail on multi-core hosts."""
+    if mode == "compact":
+        return (futs[4],
+                lambda: np.concatenate([futs[2].result(), futs[3].result()]),
+                lambda: np.concatenate([futs[0].result(), futs[1].result()]))
+    return (futs[3],
+            lambda: futs[4].result(),
+            lambda: np.concatenate([f.result() for f in futs[:3]]))
+
+
+def _assemble_from_records(blk_np, recs, tq_join, n_cells: int,
+                           nv: int | None, R: int, sdf_params, mode: str):
+    """Shared host assembly: validate the cell count against the block
+    masks, then the native blocks-driven faces+verts passes (numpy oracle
+    when the native build is unavailable). tq_join defers the tq
+    concatenation until after the faces pass."""
+    n = _mask_cell_count(blk_np)
+    if n != n_cells:
+        raise RuntimeError(
+            f"block masks encode {n} cells, scan counted "
+            f"{n_cells} (corrupt record stream)")
+    compact = mode == "compact"
+    sdf_f = np.asarray(sdf_params, np.float32)
+    try:
+        from disn_tpu import native
+        faces = native.mesh_faces_blocks(blk_np, recs, n_cells, R)
+        verts = native.mesh_verts_blocks(blk_np, recs, tq_join(), n_cells,
+                                         R, sdf_f, compact=compact, nv=nv)
+        return verts, faces
+    except (OSError, CalledProcessError):
+        ids_np, _ = expand_block_ids_np(blk_np, R)
+        return assemble_mesh_np(ids_np, recs, tq_join(), n_cells, R,
+                                sdf_f, tq_compact=compact)
+
+
+def _records_finish(futs, sdf_params, n_cells: int, nv: int | None, R: int,
+                    mode: str):
+    """Join the fetch futures -> zero-argument assembly closure.
+
+    The closure OVERLAPS assembly with the transfer tail when the host has
+    a spare core: blk and rec are the smallest streams, so the whole faces
+    pass (which never touches tq) runs while the tq streams — the bulk of
+    the bytes — are still in flight; the verts pass joins them last. On a
+    SINGLE-core host the C passes would only timeshare against the fetch
+    threads' memcpy (probe measured the 11 ms faces pass ballooning to
+    130-370 ms under that contention), so there every stream joins first
+    and assembly runs serially — the block-mask byte savings still
+    apply."""
     import os
     overlap = (os.cpu_count() or 1) > 1
+    blk_f, recs_join, tq_join = _records_parts(futs, mode)
 
     def assemble():
         if not overlap:
             for f in futs:
                 f.result()
-        blk_np = futs[4].result()
-        recs = np.concatenate([futs[2].result(), futs[3].result()])
-        n = _mask_cell_count(blk_np)
-        if n != n_cells:
-            raise RuntimeError(
-                f"block masks encode {n} cells, scan counted "
-                f"{n_cells} (corrupt record stream)")
-        try:
-            from disn_tpu import native
-            faces = native.mesh_faces_blocks(blk_np, recs, n_cells, R)
-            tqc = np.concatenate([futs[0].result(), futs[1].result()])
-            verts = native.mesh_verts_blocks(
-                blk_np, recs, tqc, n_cells, R,
-                np.asarray(sdf_params, np.float32), compact=True, nv=nv)
-            return verts, faces
-        except (OSError, CalledProcessError):
-            ids_np, n = expand_block_ids_np(blk_np, R)
-            assert n == n_cells, (n, n_cells)
-            tqc = np.concatenate([futs[0].result(), futs[1].result()])
-            if tqc.dtype == np.uint8:
-                tqc = tqc.astype(np.uint16) * np.uint16(257)
-            return assemble_mesh_np(ids_np, recs, tqc, n_cells, R,
-                                    sdf_params, tq_compact=True)
+        return _assemble_from_records(blk_f.result(), recs_join(), tq_join,
+                                      n_cells, nv, R, sdf_params, mode)
 
     return assemble
+
+
+def records_finish_compact(futs, sdf_params, n_cells: int, nv: int, R: int):
+    """Compact-stream finish (the caller must have validated nv <= nvcap)."""
+    return _records_finish(futs, sdf_params, n_cells, nv, R, "compact")
 
 
 def records_finish_masked(futs, sdf_params, n_cells: int, R: int):
-    """Join the masked-path fetches -> zero-argument assembly closure.
-
-    The closure OVERLAPS assembly with the transfer tail when the host has
-    a spare core: blk and rec are the smallest streams, so the id
-    expansion and the whole faces pass (neither touches tq) run while the
-    three tq streams — the bulk of the bytes — are still in flight; the
-    verts pass joins them last. On a SINGLE-core host the C passes would
-    only timeshare against the fetch threads' memcpy (probe measured the
-    11 ms faces pass ballooning to 130-370 ms under that contention), so
-    there every stream joins first and assembly runs serially — the
-    block-mask byte savings still apply. Falls back to the numpy oracle
-    when the native build is unavailable."""
-    import os
-    overlap = (os.cpu_count() or 1) > 1
-
-    def assemble():
-        if not overlap:
-            for f in futs:
-                f.result()
-        blk_np = futs[3].result()
-        recs = futs[4].result()
-        n = _mask_cell_count(blk_np)
-        if n != n_cells:
-            raise RuntimeError(
-                f"block masks encode {n} cells, scan counted "
-                f"{n_cells} (corrupt record stream)")
-        try:
-            from disn_tpu import native
-            faces = native.mesh_faces_blocks(blk_np, recs, n_cells, R)
-            tq_np = np.concatenate([f.result() for f in futs[:3]])
-            verts = native.mesh_verts_blocks(
-                blk_np, recs, tq_np, n_cells, R,
-                np.asarray(sdf_params, np.float32))
-            return verts, faces
-        except (OSError, CalledProcessError):
-            ids_np, n = expand_block_ids_np(blk_np, R)
-            assert n == n_cells, (n, n_cells)
-            tq_np = np.concatenate([f.result() for f in futs[:3]])
-            if tq_np.dtype == np.uint8:
-                tq_np = tq_np.astype(np.uint16) * np.uint16(257)
-            return assemble_mesh_np(ids_np, recs, tq_np, n_cells, R,
-                                    sdf_params)
-
-    return assemble
+    """Masked-stream finish (slot-dense [n_cells, D] tq)."""
+    return _records_finish(futs, sdf_params, n_cells, None, R, "masked")
 
 
 _ASM_POOL = None
@@ -1536,6 +1528,8 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
     cancel = threading.Event()
     sdf_f = np.asarray(sdf_params, np.float32)
 
+    blk_f, recs_join, tq_join = _records_parts(futs, mode)
+
     def work():
         # join-all-first, even with spare cores: the C passes vs the
         # in-flight fetch threads measured 11 -> 130-370 ms under
@@ -1545,18 +1539,8 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
             f.result()
         if cancel.is_set():
             return None
-        if mode == "compact":
-            blk_np = futs[4].result()
-            recs = np.concatenate([futs[2].result(), futs[3].result()])
-        else:
-            blk_np = futs[3].result()
-            recs = futs[4].result()
-        use_native = True
-        try:
-            from disn_tpu import native
-            native._load()
-        except (OSError, CalledProcessError):
-            use_native = False
+        blk_np = blk_f.result()
+        recs = recs_join()
         n = _mask_cell_count(blk_np)
         if n > len(recs):  # slots under-covered the scan: nv/records
             return None    # truncated — exact re-run handles it
@@ -1565,30 +1549,9 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
             return None    # tq stream truncated (mode='drop' scatter)
         if cancel.is_set():
             return None
-        if mode == "compact":
-            tq = np.concatenate([futs[0].result(), futs[1].result()])
-            if use_native:
-                faces = native.mesh_faces_blocks(blk_np, recs, n, R)
-                verts = native.mesh_verts_blocks(blk_np, recs, tq, n, R,
-                                                 sdf_f, compact=True, nv=nv)
-            else:
-                ids_np, _ = expand_block_ids_np(blk_np, R)
-                if tq.dtype == np.uint8:
-                    tq = tq.astype(np.uint16) * np.uint16(257)
-                verts, faces = assemble_mesh_np(ids_np, recs, tq, n, R,
-                                                sdf_f, tq_compact=True)
-        else:
-            tq = np.concatenate([f.result() for f in futs[:3]])
-            if use_native:
-                faces = native.mesh_faces_blocks(blk_np, recs, n, R)
-                verts = native.mesh_verts_blocks(blk_np, recs, tq, n, R,
-                                                 sdf_f)
-            else:
-                ids_np, _ = expand_block_ids_np(blk_np, R)
-                if tq.dtype == np.uint8:
-                    tq = tq.astype(np.uint16) * np.uint16(257)
-                verts, faces = assemble_mesh_np(ids_np, recs, tq, n, R,
-                                                sdf_f)
+        verts, faces = _assemble_from_records(
+            blk_np, recs, tq_join, n, nv if mode == "compact" else None,
+            R, sdf_f, mode)
         return verts, faces, n, nv
 
     return _get_asm_pool().submit(work), cancel

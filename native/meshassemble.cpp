@@ -397,11 +397,14 @@ int64_t mesh_faces_blocks(const int32_t* bids, const uint32_t* mlo,
 // block walk — no id list, no div/mod per cell). compact != 0 reads tq as
 // the crossing-only vertex-order stream (ops/marching._compact_tq);
 // otherwise tq is the slot-dense [n_cells, D] layout. Returns nv.
+// cap bounds BOTH the out_verts rows written and (in compact mode) the tq
+// entries read: corrupt records whose crossing popcount exceeds the
+// caller's vertex count return -1 instead of writing past the allocation.
 int64_t mesh_verts_blocks(const int32_t* bids, const uint32_t* mlo,
                           const uint32_t* mhi, int32_t n_blocks,
                           const uint32_t* recs, const uint16_t* tq,
                           int32_t compact, int32_t n_cells, int32_t R,
-                          int32_t D, const int32_t* pair_i,
+                          int32_t D, int64_t cap, const int32_t* pair_i,
                           const int32_t* pair_j, const int32_t* corners,
                           const float* bbox, float* out_verts) {
   const int64_t E = R;
@@ -426,6 +429,8 @@ int64_t mesh_verts_blocks(const int32_t* bids, const uint32_t* mlo,
       const uint32_t cross = recs[i] >> 8;
       for (int d = 0; d < D; ++d) {
         if (!(cross >> d & 1u)) continue;
+        if (nv >= cap) return -1;  // corrupt records: crossing count
+                                   // exceeds the caller's vertex budget
         const int32_t* oi = corners + 3 * pair_i[d];
         const int32_t* oj = corners + 3 * pair_j[d];
         const double t =
@@ -443,46 +448,6 @@ int64_t mesh_verts_blocks(const int32_t* bids, const uint32_t* mlo,
         }
         ++nv;
       }
-    }
-  }
-  return nv;
-}
-
-// Verts pass with a COMPACT tq stream: tq[v] is the v-th vertex's edge
-// parameter (vertex order == slot-major/direction-minor crossing order —
-// ops/marching._compact_tq). Returns nv.
-int64_t mesh_verts_compact(const int32_t* ids, const uint32_t* recs,
-                           const uint16_t* tqc, int32_t n_cells, int32_t R,
-                           int32_t D, const int32_t* pair_i,
-                           const int32_t* pair_j, const int32_t* corners,
-                           const float* bbox, float* out_verts) {
-  const int64_t E = R;
-  const double lo[3] = {bbox[0], bbox[1], bbox[2]};
-  const double span[3] = {bbox[3] - bbox[0], bbox[4] - bbox[1],
-                          bbox[5] - bbox[2]};
-  const double inv = 1.0 / (R - 1);
-  int64_t nv = 0;
-  for (int32_t i = 0; i < n_cells; ++i) {
-    const int64_t cid = ids[i];
-    const int64_t cz = cid / (E * E), cy = (cid / E) % E, cx = cid % E;
-    const uint32_t cross = recs[i] >> 8;
-    for (int d = 0; d < D; ++d) {
-      if (!(cross >> d & 1u)) continue;
-      const int32_t* oi = corners + 3 * pair_i[d];
-      const int32_t* oj = corners + 3 * pair_j[d];
-      const double t = tqc[nv] * (1.0 / 65535.0);
-      const int64_t gi[3] = {std::min(cx + oi[0], E - 1),
-                             std::min(cy + oi[1], E - 1),
-                             std::min(cz + oi[2], E - 1)};
-      const int64_t gj[3] = {std::min(cx + oj[0], E - 1),
-                             std::min(cy + oj[1], E - 1),
-                             std::min(cz + oj[2], E - 1)};
-      for (int a = 0; a < 3; ++a) {
-        const double pi = lo[a] + gi[a] * inv * span[a];
-        const double pj = lo[a] + gj[a] * inv * span[a];
-        out_verts[nv * 3 + a] = (float)(pi + t * (pj - pi));
-      }
-      ++nv;
     }
   }
   return nv;

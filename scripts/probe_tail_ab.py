@@ -83,10 +83,18 @@ def main() -> None:
 
     # device cost of the record stage alone, masked vs compact (chained)
     if on_tpu:
-        import jax.numpy as jnp
-        ctx = pipeline._fused_dispatch(params, imgs[0], trans,
-                                       np.array([-1, -1, -1, 1, 1, 1],
-                                                np.float32), cfg,
+        # re-warm the spec cache under the DEFAULT cfg key (the runs above
+        # ended on the compact_tq=False variant, whose Config hashes
+        # differently, so a dispatch with `cfg` would find no prediction)
+        pipeline._SPEC_CACHE.clear()
+        sdfp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+        for img in imgs[:2]:
+            pipeline.image_to_mesh(params, img, trans, cfg)
+        ctx = pipeline._fused_dispatch(params, imgs[2], trans, sdfp, cfg,
+                                       iso=cfg.iso)
+        out = pipeline._fused_collect(ctx)
+        assert out is not None
+        ctx = pipeline._fused_dispatch(params, imgs[3], trans, sdfp, cfg,
                                        iso=cfg.iso)
         if ctx["pred"] is not None:
             vol, esc_b, ids, ncd, gov_d = ctx["pbm"]
