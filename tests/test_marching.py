@@ -316,6 +316,85 @@ def test_masked_records_path_matches_owned(cores, monkeypatch):
     np.testing.assert_allclose(ov_, av, atol=2e-7)
 
 
+def test_speculative_assembly_self_checks():
+    """records_assemble_speculative derives n_cells/nv from the fetched
+    buffers, matches the exact finish paths on the happy path, and bails
+    (returns None) on slot under-coverage, compact-tq cap overflow, and a
+    pre-set cancel event — the branches the production pipeline only hits
+    on rare mispredictions."""
+    import jax.numpy as jnp
+    from disn_tpu.infer import sparse as sparse_mod
+
+    vol = sphere_volume(R=33, r=0.6)
+    R = vol.shape[0]
+    stride = 4
+    coarse = jnp.asarray(vol[::stride, ::stride, ::stride])
+    rc = coarse.shape[0]
+    span = PARAMS[3:6] - PARAMS[0:3]
+    tau = 1.5 * np.sqrt(np.sum((span / (rc - 1)) ** 2))
+    cell_ids, count = sparse_mod._active_cells(coarse, jnp.float32(tau), 512)
+    ids, ncd, ov, blk = marching._active_cells_from_coarse(
+        jnp.asarray(vol), cell_ids, count, iso=0.0, stride=stride, bcap=768)
+    nc = int(ncd)
+    n_iter, batch = marching.records_n_iter(int(ids.shape[0]), nc, 512)
+    rec_d, tq_d, _ = marching.records_dispatch(vol=jnp.asarray(vol), ids=ids,
+                                               n_cells_d=ncd, iso=0.0,
+                                               n_iter=n_iter, batch=batch)
+    futs = marching.records_start_fetch_masked(rec_d, tq_d, blk)
+    ev, ef = marching.records_finish_masked(futs, PARAMS, nc, R)()
+    nv = int(marching._count_cross(rec_d))
+
+    # happy path (masked): self-derived counts + identical mesh
+    fut, cancel = marching.records_assemble_speculative(
+        futs, PARAMS, R, "masked")
+    verts, faces, n_o, nv_o = fut.result()
+    assert (n_o, nv_o) == (nc, nv)
+    np.testing.assert_array_equal(faces, ef)
+    np.testing.assert_array_equal(verts, ev)
+
+    # happy path (compact)
+    nvcap = marching._qbucket(max(4, int(nv * 1.15)))
+    tqc_d, _ = marching._compact_tq(rec_d, tq_d, nvcap)
+    cfuts = marching.records_start_fetch_compact(rec_d, tqc_d, blk)
+    fut, cancel = marching.records_assemble_speculative(
+        cfuts, PARAMS, R, "compact", nvcap)
+    verts, faces, n_o, nv_o = fut.result()
+    assert (n_o, nv_o) == (nc, nv)
+    np.testing.assert_array_equal(faces, ef)
+    np.testing.assert_array_equal(verts, ev)
+
+    # compact-tq cap overflow: claimed nvcap below the true crossing count
+    fut, cancel = marching.records_assemble_speculative(
+        cfuts, PARAMS, R, "compact", nv - 1)
+    assert fut.result() is None
+
+    # slot under-coverage: records truncated below the scan's cell count
+    from concurrent.futures import Future
+
+    def done(v):
+        f = Future()
+        f.set_result(v)
+        return f
+
+    rec_np = np.asarray(rec_d)
+    short = max(1, nc - 8)
+    tfuts = [done(np.asarray(x)) for x in
+             (tq_d[:short], tq_d[short:short], tq_d[short:short])]
+    tfuts += [done(np.asarray(blk)), done(rec_np[:short])]
+    fut, cancel = marching.records_assemble_speculative(
+        tfuts, PARAMS, R, "masked")
+    assert fut.result() is None
+
+    # pre-set cancel: bails before assembling
+    fut, cancel = marching.records_assemble_speculative(
+        futs, PARAMS, R, "masked")
+    cancel.set()
+    # the worker may already have passed the first check; both outcomes
+    # (early None or a completed mesh) are legal — only require no error
+    res = fut.result()
+    assert res is None or len(res) == 4
+
+
 @pytest.mark.parametrize("r", [0.6, 1.3])
 def test_candidate_scan_matches_full_scan(r):
     """_active_cells_from_coarse (scan limited to band-active coarse cells
