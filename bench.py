@@ -29,6 +29,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -36,12 +38,33 @@ import numpy as np
 TARGET_MS = 100.0  # BASELINE.json north star
 
 
+def tpu_reachable(timeout: float = 180.0) -> bool:
+    """Probe TPU backend init in a KILLABLE subprocess: when the axon
+    tunnel is down, in-process `jax.devices()` BLOCKS for tens of minutes
+    before raising UNAVAILABLE (measured during an outage), and a failed
+    init poisons the process-global backend — so the probe must be
+    out-of-process and bounded. Healthy init takes ~5-20 s."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(any(d.platform == 'tpu' "
+             "for d in jax.devices()))"],
+            capture_output=True, timeout=timeout, text=True)
+        return out.stdout.strip().endswith("True")
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main() -> None:
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    on_tpu = tpu_reachable()
+    if not on_tpu:
+        # tunnel down/unreachable: the driver contract is ONE JSON line
+        # regardless — force CPU BEFORE backend init, emit the smoke metric
+        jax.config.update("jax_platforms", "cpu")
     from disn_tpu.config import Config
     from disn_tpu.data import synthetic
     from disn_tpu.infer import pipeline

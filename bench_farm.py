@@ -30,7 +30,13 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from bench import tpu_reachable
+    on_tpu = tpu_reachable()
+    if not on_tpu:
+        # tunnel down/unreachable: the driver contract is ONE JSON line
+        # regardless — force CPU BEFORE backend init (an in-process failed
+        # init blocks for tens of minutes and poisons the backend)
+        jax.config.update("jax_platforms", "cpu")
     from disn_tpu import cli
     from disn_tpu.config import Config
     from disn_tpu.data import synthetic
