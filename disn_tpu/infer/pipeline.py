@@ -198,7 +198,7 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         opt = marching_mod.records_assemble_speculative(
             futs, sdf_params, cfg.grid_resolution, ctx["mode"], nvcap)
         ctx.update(pred=(nb_p, ni_p, batch_p),
-                   pbm=(vol, esc_b, ids, ncd, gov_d),
+                   pbm=(vol, esc_b, ids, ncd, gov_d), blk=blk_d,
                    futs=futs, opt=opt)
     return ctx
 
@@ -273,10 +273,11 @@ def _fused_collect(ctx: dict, defer: bool = False
                     return fin()
                 # record bucket (or compact-tq vertex bucket) under-
                 # predicted: re-run ONLY the record pass at the exact
-                # bucket (ids/vol still on device)
+                # bucket (ids/vol/blk still on device)
                 opt_cancel.set()
                 fetch = marching_mod.extract_mesh_records_deferred(
-                    vol, sdf_params, ids, nc, iso=iso, join=not defer)
+                    vol, sdf_params, ids, nc, iso=iso, join=not defer,
+                    blk=ctx["blk"])
                 return fetch if defer else fetch()
             # gov > 0 with a consistent bcap: genuine group overflow ->
             # full-volume rescan fallback below
@@ -285,7 +286,7 @@ def _fused_collect(ctx: dict, defer: bool = False
             opt_cancel.set()
             # under-predicted block bucket: phase-b covered only part of
             # the active set — re-run it at the exact bucket
-            vol, esc_b, ids, ncd, gov_d, _ = _run_pbm(
+            vol, esc_b, ids, ncd, gov_d, blk_d = _run_pbm(
                 ctx, _needed_blocks(c, sizes))
             eb, nc, gov = (int(x) for x in jax.device_get(
                 (esc_b, ncd, gov_d)))
@@ -299,7 +300,8 @@ def _fused_collect(ctx: dict, defer: bool = False
                 return None
             if gov <= 0:
                 fetch = marching_mod.extract_mesh_records_deferred(
-                    vol, sdf_params, ids, nc, iso=iso, join=not defer)
+                    vol, sdf_params, ids, nc, iso=iso, join=not defer,
+                    blk=blk_d)
                 return fetch if defer else fetch()
     else:
         # no prediction yet: sequential two-sync flow, seeding the cache
@@ -307,7 +309,7 @@ def _fused_collect(ctx: dict, defer: bool = False
         if c > sizes["cell_cap"] or ea > 0:
             return None
         nb = _needed_blocks(c, sizes)
-        vol, esc_b, ids, ncd, gov_d, _ = _run_pbm(ctx, nb)
+        vol, esc_b, ids, ncd, gov_d, blk_d = _run_pbm(ctx, nb)
         eb, nc, gov = (int(x) for x in jax.device_get((esc_b, ncd, gov_d)))
         _SPEC_CACHE[key] = (nb, marching_mod.records_n_iter(
             int(ids.shape[0]), nc, batch)[0], None)
@@ -315,7 +317,8 @@ def _fused_collect(ctx: dict, defer: bool = False
             return None
         if gov <= 0:
             fetch = marching_mod.extract_mesh_records_deferred(
-                vol, sdf_params, ids, nc, iso=iso, join=not defer)
+                vol, sdf_params, ids, nc, iso=iso, join=not defer,
+                blk=blk_d)
             return fetch if defer else fetch()
     # high-genus group-cap overflow: rescan the (already computed) volume
     # at the configured ceiling

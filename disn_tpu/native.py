@@ -171,6 +171,9 @@ def mesh_faces_blocks(blk: np.ndarray, recs: np.ndarray, n_cells: int,
     pair_i, _, nb_tbl, dir_tbl = _owned_tables()
     D = len(pair_i)
     blk = np.ascontiguousarray(blk, np.int32)
+    if len(recs) < n_cells:
+        raise RuntimeError(f"{len(recs)} record slots < {n_cells} cells "
+                           "(stream under-covers the scan)")
     recs = np.ascontiguousarray(recs[:n_cells], np.uint32)
     i32c = lambda a: np.ascontiguousarray(a, np.int32)  # noqa: E731
     tables = [i32c(CORNERS), i32c(TETS), i32c(_tables()[1]), i32c(nb_tbl),
@@ -206,6 +209,9 @@ def mesh_verts_blocks(blk: np.ndarray, recs: np.ndarray, tq: np.ndarray,
     pair_i, pair_j, _, _ = _owned_tables()
     D = len(pair_i)
     blk = np.ascontiguousarray(blk, np.int32)
+    if len(recs) < n_cells or (not compact and len(tq) < n_cells):
+        raise RuntimeError(f"{len(recs)} record slots < {n_cells} cells "
+                           "(stream under-covers the scan)")
     recs = np.ascontiguousarray(recs[:n_cells], np.uint32)
     tq = np.asarray(tq if compact else tq[:n_cells])
     if tq.dtype == np.uint8:  # exact u8 range map (see marching._tq_bits)

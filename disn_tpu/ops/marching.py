@@ -1581,7 +1581,7 @@ def records_finish(futs, sdf_params, n_cells: int, R: int):
 
 def extract_mesh_records_deferred(vol, sdf_params, ids, n_cells: int,
                                   iso: float = 0.0, batch: int = 8192,
-                                  join: bool = True):
+                                  join: bool = True, blk=None):
     """Record-mode extraction, split for the eval farm: this call does ALL
     device work (record pass dispatch + starting the parallel record fetch
     on the shared pool); the returned zero-argument closure runs host-side
@@ -1593,12 +1593,28 @@ def extract_mesh_records_deferred(vol, sdf_params, ids, n_cells: int,
     closure too: the caller's thread is free to dispatch the NEXT image's
     device chain while this image's records are still in flight on the
     fetch pool (no new device traffic originates off-thread — the safe
-    kind of overlap; farm-measured win)."""
+    kind of overlap; farm-measured win).
+
+    blk: the candidate scan's (block id, 64-bit mask) rows when the caller
+    has them (the fused pipeline's seed/re-run paths) — the id stream then
+    never crosses the link (~2.5x fewer bytes) and assembly runs the
+    blocks-driven C passes; None falls back to the 4-stream ids fetch
+    (paths with no block rows, e.g. the sharded extractor)."""
     R = int(vol.shape[0])
     if n_cells == 0:
         return lambda: (np.zeros((0, 3), np.float32),
                         np.zeros((0, 3), np.int32))
     n_iter, batch = records_n_iter(int(ids.shape[0]), n_cells, batch)
+    if blk is not None and n_iter * batch >= n_cells:
+        rec_d, tq0, tq1, tq2, _ = _records_masked_split(
+            vol, ids, jnp.int32(n_cells), iso=float(iso), n_iter=n_iter,
+            batch=batch)
+        futs = records_submit((tq0, tq1, tq2, blk, rec_d))
+        fin = records_finish_masked(futs, sdf_params, n_cells, R)
+        if join:
+            for f in futs:
+                f.result()
+        return fin
     rec_d, tq_d, ids_s = records_dispatch(vol, ids, jnp.int32(n_cells),
                                           iso=iso, n_iter=n_iter,
                                           batch=batch)
