@@ -172,25 +172,34 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         # tunnel and contend with the corrective work — an accepted cost
         # of the rare path (a hit saves ~25 ms every image; a miss pays
         # ~1 MB of dead transfer once per workload density transition)
+        # ALL validation scalars (phase-a count + escapes, scan count,
+        # group overflow, vertex count) ride the record fetch streams as a
+        # tiny flags vector — the hit path then never issues a bare
+        # jax.device_get, whose ~25-40 ms round trip was the collect
+        # step's critical path
+        _, _, _, _, count, esc_a = ctx["pa"]
+        scalars = (count, esc_a, esc_b, ncd, gov_d)
         if nv_p is not None and cfg.compact_tq:
             # vertex count predicted too: ship only the crossing edges' t
             # parameters (vertex order), ~nv bytes instead of S*D; the
             # record pass, compaction, and fetch splits ride ONE dispatch
             nvcap = marching_mod._qbucket(max(4, int(nv_p * 1.15)))
-            rec0, rec1, tqc0, tqc1, nv_d = \
+            rec0, rec1, tqc0, tqc1, flags_d = \
                 marching_mod._records_compact_split(
                     vol, ids, ncd, iso=float(iso), n_iter=ni_p,
-                    batch=batch_p, nvcap=nvcap)
+                    batch=batch_p, nvcap=nvcap, scalars=scalars)
             futs = marching_mod.records_submit(
-                (tqc0, tqc1, rec0, rec1, blk_d))
-            ctx.update(mode="compact", nv=(nv_d, nvcap))
+                (tqc0, tqc1, rec0, rec1, blk_d, flags_d))
+            ctx.update(mode="compact", nvcap=nvcap)
         else:
             nvcap = None
-            rec_d, tq0, tq1, tq2, nv_d = marching_mod._records_masked_split(
-                vol, ids, ncd, iso=float(iso), n_iter=ni_p, batch=batch_p)
+            rec_d, tq0, tq1, tq2, flags_d = \
+                marching_mod._records_masked_split(
+                    vol, ids, ncd, iso=float(iso), n_iter=ni_p,
+                    batch=batch_p, scalars=scalars)
             futs = marching_mod.records_submit(
-                (tq0, tq1, tq2, blk_d, rec_d))
-            ctx.update(mode="masked", nv=(nv_d, None))
+                (tq0, tq1, tq2, blk_d, rec_d, flags_d))
+            ctx.update(mode="masked", nvcap=None)
         # optimistic assembly: builds the mesh on a background thread as
         # soon as the fetches land — concurrently with the validation
         # scalars' round trip in _fused_collect, which then only accepts
@@ -226,10 +235,11 @@ def _fused_collect(ctx: dict, defer: bool = False
         nb_p, ni_p, batch_p = ctx["pred"]
         vol, esc_b, ids, ncd, gov_d = ctx["pbm"]
         futs = ctx["futs"]
-        nv_d, nvcap = ctx["nv"]
+        nvcap = ctx["nvcap"]
         opt_fut, opt_cancel = ctx["opt"]
-        c, ea, eb, nc, gov, nv = (int(x) for x in jax.device_get(
-            (count, esc_a, esc_b, ncd, gov_d, nv_d)))
+        # the validation scalars arrive ON the record fetch streams (a
+        # tiny 6th buffer) — no bare device_get round trip on the hit path
+        c, ea, eb, nc, gov, nv = (int(x) for x in futs[5].result())
         if c > sizes["cell_cap"] or ea > 0:
             opt_cancel.set()
             return None

@@ -1138,33 +1138,44 @@ def _compact_tq(rec: jnp.ndarray, tq: jnp.ndarray, nvcap: int
 
 @functools.partial(jax.jit, static_argnames=("iso", "n_iter", "batch"))
 def _records_masked_split(volume, cell_ids, n_cells, *, iso: float,
-                          n_iter: int, batch: int):
+                          n_iter: int, batch: int, scalars=()):
     """Record pass + fetch plan in ONE dispatch: tq pre-split in 3 (the
     five-stream fetch layout) and the crossing count, replacing a record
     jit + a count jit + 3 slice jits of per-image dispatch work on the
     single-core production host (~0.5 ms of python+enqueue each).
-    Returns (rec, tq0, tq1, tq2, nv)."""
+
+    scalars: upstream validation scalars (counts/escape/overflow flags) to
+    embed in the returned flags vector — they then ride the record FETCH
+    streams instead of a bare jax.device_get, whose ~25-40 ms round trip
+    was the collect step's critical path. Returns
+    (rec, tq0, tq1, tq2, flags i32[len(scalars)+1]) with flags[-1] = nv."""
     rec, tq = _extract_records(volume, cell_ids, n_cells, iso=iso,
                                n_iter=n_iter, batch=batch)
     S = n_iter * batch
     t0, t1 = S // 3, 2 * S // 3
     nv = _count_cross(rec)
-    return rec, tq[:t0], tq[t0:t1], tq[t1:], nv
+    flags = jnp.stack([jnp.asarray(s, jnp.int32).reshape(())
+                       for s in (*scalars, nv)])
+    return rec, tq[:t0], tq[t0:t1], tq[t1:], flags
 
 
 @functools.partial(jax.jit,
                    static_argnames=("iso", "n_iter", "batch", "nvcap"))
 def _records_compact_split(volume, cell_ids, n_cells, *, iso: float,
-                           n_iter: int, batch: int, nvcap: int):
+                           n_iter: int, batch: int, nvcap: int,
+                           scalars=()):
     """Record pass + crossing-only tq compaction + fetch plan in ONE
     dispatch (see _records_masked_split / _compact_tq). Returns
-    (rec0, rec1, tqc0, tqc1, nv); nv > nvcap means the tqc stream is
-    truncated and the caller must re-run uncompacted."""
+    (rec0, rec1, tqc0, tqc1, flags) with flags[-1] = nv; nv > nvcap means
+    the tqc stream is truncated and the caller must re-run uncompacted."""
     rec, tq = _extract_records(volume, cell_ids, n_cells, iso=iso,
                                n_iter=n_iter, batch=batch)
     tqc, nv = _compact_tq(rec, tq, nvcap)
     S = n_iter * batch
-    return rec[:S // 2], rec[S // 2:], tqc[:nvcap // 2], tqc[nvcap // 2:], nv
+    flags = jnp.stack([jnp.asarray(s, jnp.int32).reshape(())
+                       for s in (*scalars, nv)])
+    return (rec[:S // 2], rec[S // 2:], tqc[:nvcap // 2], tqc[nvcap // 2:],
+            flags)
 
 
 def records_submit(parts):
