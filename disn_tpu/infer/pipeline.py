@@ -84,10 +84,34 @@ def volume_to_mesh(vol: np.ndarray, sdf_params: np.ndarray, iso: float = 0.0,
     return verts, faces
 
 
-# last actual (n_blocks, n_iter) per config: the speculative dispatch
-# predicts the next image's buckets from these (bench repeats one shape;
-# consecutive farm images bucket identically most of the time)
+# per-config bucket predictions (n_blocks, n_iter, nv, low_streak) for the
+# speculative dispatch. Predictions RATCHET UP immediately (an
+# under-prediction costs a full stage re-run + an extra round trip) and
+# decay back down only after _SHRINK_STREAK consecutive smaller images
+# (over-prediction costs only padded kernel slots / dead fetch bytes,
+# ~12.5% per quarter-pow2 bucket step) — so a farm alternating between
+# object sizes doesn't thrash between re-runs.
 _SPEC_CACHE: dict = {}
+_SHRINK_STREAK = 12
+
+
+def _update_pred(key, nb: int, ni: int, nv: int | None) -> None:
+    """Fold this image's exact-needed buckets into the config's prediction
+    with upward ratchet + streak-gated decay."""
+    prev = _SPEC_CACHE.get(key)
+    if prev is None:
+        _SPEC_CACHE[key] = (nb, ni, nv, 0)
+        return
+    nb_p, ni_p, nv_p, streak = prev
+    nb_n, ni_n = max(nb, nb_p), max(ni, ni_p)
+    nv_n = nv if (nv_p is None or nv is None) else max(nv, nv_p)
+    if (nb_n, ni_n, nv_n) != (nb, ni, nv):
+        if streak + 1 >= _SHRINK_STREAK:
+            _SPEC_CACHE[key] = (nb, ni, nv, 0)
+            return
+        _SPEC_CACHE[key] = (nb_n, ni_n, nv_n, streak + 1)
+        return
+    _SPEC_CACHE[key] = (nb, ni, nv, 0)
 
 
 def _fused_bcap(n_blocks: int, sizes: dict) -> int:
@@ -163,7 +187,7 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     # the tunnel at production counts
     pred = _SPEC_CACHE.get(ctx["key"])
     if pred is not None:
-        nb_p, ni_p, nv_p = pred
+        nb_p, ni_p, nv_p, _ = pred
         vol, esc_b, ids, ncd, gov_d, blk_d = _run_pbm(ctx, nb_p)
         ni_p, batch_p = marching_mod.records_n_iter(
             int(ids.shape[0]), ni_p * ctx["batch"], ctx["batch"])
@@ -246,10 +270,10 @@ def _fused_collect(ctx: dict, defer: bool = False
         covered = ni_p * batch_p >= nc
         # nv is trustworthy only when the record slots covered nc (else the
         # compaction ran over a truncated slot set and undercounts)
-        _SPEC_CACHE[key] = (_needed_blocks(c, sizes),
-                            marching_mod.records_n_iter(
-                                int(ids.shape[0]), nc, batch)[0],
-                            nv if covered else None)
+        _update_pred(key, _needed_blocks(c, sizes),
+                     marching_mod.records_n_iter(
+                         int(ids.shape[0]), nc, batch)[0],
+                     nv if covered else None)
         if nb_p >= _exact_blocks(c, sizes):
             # prediction covered the work: the speculative results are the
             # exact results (padded slots were masked in-kernel)
@@ -303,9 +327,9 @@ def _fused_collect(ctx: dict, defer: bool = False
             # re-seed the record bucket from the CORRECTED scan: the
             # partial scan's nc under-counts and would mispredict the
             # next image's record pass too (round-3 review)
-            _SPEC_CACHE[key] = (_needed_blocks(c, sizes),
-                                marching_mod.records_n_iter(
-                                    int(ids.shape[0]), nc, batch)[0], None)
+            _update_pred(key, _needed_blocks(c, sizes),
+                         marching_mod.records_n_iter(
+                             int(ids.shape[0]), nc, batch)[0], None)
             if eb > 0:
                 return None
             if gov <= 0:
@@ -321,7 +345,7 @@ def _fused_collect(ctx: dict, defer: bool = False
         nb = _needed_blocks(c, sizes)
         vol, esc_b, ids, ncd, gov_d, blk_d = _run_pbm(ctx, nb)
         eb, nc, gov = (int(x) for x in jax.device_get((esc_b, ncd, gov_d)))
-        _SPEC_CACHE[key] = (nb, marching_mod.records_n_iter(
+        _update_pred(key, nb, marching_mod.records_n_iter(
             int(ids.shape[0]), nc, batch)[0], None)
         if eb > 0:
             return None

@@ -369,6 +369,34 @@ def test_steep_field_autocal():
     np.testing.assert_array_equal(on11[1], want11[1])
 
 
+def test_spec_cache_hysteresis():
+    """Bucket predictions ratchet UP immediately (an under-prediction
+    costs a stage re-run + round trip) and shrink only after
+    _SHRINK_STREAK consecutive smaller images (over-prediction only pads
+    slots) — so farms alternating between object sizes don't thrash."""
+    from disn_tpu.infer import pipeline
+
+    key = object()
+    pipeline._SPEC_CACHE.pop(key, None)
+    pipeline._update_pred(key, 8, 4, 100)
+    assert pipeline._SPEC_CACHE[key] == (8, 4, 100, 0)
+    # bigger image: ratchet up instantly
+    pipeline._update_pred(key, 16, 8, 200)
+    assert pipeline._SPEC_CACHE[key] == (16, 8, 200, 0)
+    # smaller images: hold the larger prediction, count the streak
+    for i in range(pipeline._SHRINK_STREAK - 1):
+        pipeline._update_pred(key, 8, 4, 100)
+        assert pipeline._SPEC_CACHE[key] == (16, 8, 200, i + 1)
+    # streak reached: shrink to the exact need
+    pipeline._update_pred(key, 8, 4, 100)
+    assert pipeline._SPEC_CACHE[key] == (8, 4, 100, 0)
+    # an uncovered image (nv unknown) downgrades the nv prediction so the
+    # next image re-learns it on the masked stream
+    pipeline._update_pred(key, 8, 4, None)
+    assert pipeline._SPEC_CACHE[key][2] is None
+    pipeline._SPEC_CACHE.pop(key, None)
+
+
 def test_speculative_ladder_reaches_compact_mode():
     """Consecutive same-config images climb the speculation ladder:
     image 1 seeds the bucket cache (sequential), image 2 runs the masked
