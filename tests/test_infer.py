@@ -436,6 +436,42 @@ def test_speculative_ladder_reaches_compact_mode():
         np.testing.assert_allclose(v, meshes[0][0], atol=2e-5)
 
 
+def test_speculative_mispredictions_stay_exact():
+    """Alternating object sizes under ONE cache key (the farm case):
+    whatever the prediction state — seed, under-predicted buckets forcing
+    stage re-runs, ratcheted-up over-predictions — every image's mesh must
+    equal the mesh produced with a fresh cache."""
+    import numpy as np
+    from disn_tpu.data import synthetic
+    from disn_tpu.infer import pipeline
+
+    cfg = synthetic.tiny_config(sdf_res=64, num_classes=32, width_mult=0.125,
+                                compute_dtype="float32")
+    cfg = cfg.replace(cell_cap_frac=0.9)
+    p_small = synthetic.analytic_octahedron_params(cfg, r=0.45)
+    p_big = synthetic.analytic_octahedron_params(cfg, r=0.95)
+    rng = np.random.RandomState(1)
+    trans = synthetic.demo_trans_mat()
+
+    # fresh-cache references
+    refs = {}
+    for tag, p in (("small", p_small), ("big", p_big)):
+        pipeline._SPEC_CACHE.clear()
+        img = rng.rand(1, 137, 137, 3).astype(np.float32)
+        refs[tag] = pipeline.image_to_mesh(p, img, trans, cfg)
+        # the reference must not depend on the image (features don't feed
+        # the analytic decoder), so reuse across iterations is sound
+    pipeline._SPEC_CACHE.clear()
+    seq = ["small", "big", "small", "small", "big", "big", "small"]
+    for tag in seq:
+        img = rng.rand(1, 137, 137, 3).astype(np.float32)
+        p = p_small if tag == "small" else p_big
+        verts, faces = pipeline.image_to_mesh(p, img, trans, cfg)
+        rv, rf = refs[tag]
+        np.testing.assert_array_equal(faces, rf)
+        np.testing.assert_allclose(verts, rv, atol=2e-5)
+
+
 def test_image_to_mesh_fused_matches_unfused():
     """The fused production driver (scan inside phase_b, extraction from the
     precomputed cell list) produces the SAME welded mesh as the two-step
