@@ -323,14 +323,24 @@ int64_t mesh_faces_blocks(const int32_t* bids, const uint32_t* mlo,
       caze_lut[t][m] = (uint8_t)caze;
     }
 
-  std::vector<int64_t> vstart(n_cells + 1);
+  // per-cell packed vertex index base: low 28b = 7 rank nibbles (prefix
+  // popcount of the crossing mask per direction), high bits = vstart —
+  // each triangle vertex then costs ONE u64 load + shift/add instead of
+  // two loads (recs, vstart) + a masked popcount
+  std::vector<uint64_t> pv(n_cells);
   {
     int64_t nv = 0;
     for (int32_t i = 0; i < n_cells; ++i) {
-      vstart[i] = nv;
-      nv += __builtin_popcount(recs[i] >> 8);
+      const uint32_t cm = recs[i] >> 8;
+      uint64_t nib = 0;
+      int rank = 0;
+      for (int d = 0; d < D; ++d) {
+        nib |= (uint64_t)rank << (4 * d);
+        rank += cm >> d & 1u;
+      }
+      pv[i] = ((uint64_t)nv << 28) | nib;
+      nv += rank;
     }
-    vstart[n_cells] = nv;
   }
 
   int64_t ntri = 0;
@@ -353,10 +363,12 @@ int64_t mesh_faces_blocks(const int32_t* bids, const uint32_t* mlo,
       for (int t = 0; t < 6; ++t) {
         const int caze = caze_lut[t][inside];
         const int nt = counts_tbl[t * 16 + caze];
+        const int32_t* nb_e = nb_tbl + ((int64_t)t * 16 + caze) * 6;
+        const int32_t* dir_e = dir_tbl + ((int64_t)t * 16 + caze) * 6;
         for (int k = 0; k < nt; ++k) {
           for (int v = 0; v < 3; ++v) {
-            const int64_t e = (((int64_t)t * 16 + caze) * 2 + k) * 3 + v;
-            const int nbc = nb_tbl[e];
+            const int e = k * 3 + v;
+            const int nbc = nb_e[e];
             int32_t s = nslot[nbc];
             if (s == -3) {
               const int32_t* off = corners + 3 * nbc;
@@ -380,10 +392,9 @@ int64_t mesh_faces_blocks(const int32_t* bids, const uint32_t* mlo,
               nslot[nbc] = s;
             }
             if (s < 0) return -1;
-            const int drc = dir_tbl[e];
-            const uint32_t cm = recs[s] >> 8;
-            const int rank = __builtin_popcount(cm & ((1u << drc) - 1u));
-            out_faces[ntri * 3 + v] = (int32_t)(vstart[s] + rank);
+            const uint64_t p = pv[s];
+            out_faces[ntri * 3 + v] =
+                (int32_t)((p >> 28) + (p >> (4 * dir_e[e]) & 15u));
           }
           ++ntri;
         }
