@@ -282,15 +282,21 @@ def test_masked_records_path_matches_owned(cores, monkeypatch):
     cell = 2.0 / (R - 1)
     assert np.abs(av - ev).max() <= cell / 65535 + 1e-6
 
-    # blocks-driven faces pass == id-driven faces pass (same triangles)
+    # blocks-driven passes == id-driven oracle passes (identical output)
     try:
         from disn_tpu import native
         blk_np = np.asarray(blk)
         ids_full, n_full = native.mesh_expand_ids(blk_np, R)
         assert n_full == nc
-        f_ids = native.mesh_faces(ids_full, np.asarray(rec_d), nc, R)
-        f_blk = native.mesh_faces_blocks(blk_np, np.asarray(rec_d), nc, R)
+        rec_np = np.asarray(rec_d)
+        tq_np = np.asarray(tq_d)
+        f_ids = native.mesh_faces(ids_full, rec_np, nc, R)
+        f_blk = native.mesh_faces_blocks(blk_np, rec_np, nc, R)
         np.testing.assert_array_equal(f_blk, f_ids)
+        v_ids = native.mesh_verts(ids_full, rec_np, tq_np, nc, R, PARAMS)
+        v_blk = native.mesh_verts_blocks(blk_np, rec_np, tq_np, nc, R,
+                                         PARAMS)
+        np.testing.assert_array_equal(v_blk, v_ids)
     except OSError:
         pass  # native build unavailable: the numpy-oracle paths cover it
 
