@@ -142,11 +142,14 @@ class Config:
     # the surface crosses — see infer/sparse.py and
     # tests/test_infer.py::test_steep_field_autocal (round-2 verdict #2)
     cell_cap_frac: float = 0.25      # active-cell cap / total coarse cells
-    compact_tq: bool = True          # once the speculation cache has
+    compact_tq: bool = False         # once the speculation cache has
     # learned a vertex-count prediction, ship only the CROSSING edges' t
     # parameters (vertex order, ~nv bytes) instead of the full [slots, D]
-    # stream — trades a device-side compaction scatter for ~45% fewer
-    # record bytes on the tunnel; False pins the masked full-tq stream
+    # stream — trades a device-side compaction scatter (~[slots*D] rows at
+    # ~30 ns/row, est. ~17 ms at 257^3) for ~45% fewer record bytes
+    # (~7.7 ms at the 52 MB/s aggregate). Default OFF pending the TPU A/B
+    # (scripts/probe_tail_ab.py): by the scatter estimate it's a net loss,
+    # but the scalar-u8-row scatter has never been measured on the link
 
     # ---- inference ---------------------------------------------------------
     iso: float = 0.0               # marching-cubes iso surface at inference

@@ -409,8 +409,9 @@ def test_speculative_ladder_reaches_compact_mode():
     cfg = synthetic.tiny_config(sdf_res=64, num_classes=32, width_mult=0.125,
                                 compute_dtype="float32")
     # wide autocal band at a small coarse grid: raise the cap so the
-    # sparse fast path engages instead of falling back
-    cfg = cfg.replace(cell_cap_frac=0.9)
+    # sparse fast path engages instead of falling back; compact_tq opt-in
+    # (default off pending the TPU scatter-vs-bytes A/B)
+    cfg = cfg.replace(cell_cap_frac=0.9, compact_tq=True)
     params = synthetic.analytic_octahedron_params(cfg, r=0.6)
     rng = np.random.RandomState(0)
     trans = synthetic.demo_trans_mat()
