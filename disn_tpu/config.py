@@ -142,14 +142,14 @@ class Config:
     # the surface crosses — see infer/sparse.py and
     # tests/test_infer.py::test_steep_field_autocal (round-2 verdict #2)
     cell_cap_frac: float = 0.25      # active-cell cap / total coarse cells
-    compact_tq: bool = False         # once the speculation cache has
+    compact_tq: bool = True          # once the speculation cache has
     # learned a vertex-count prediction, ship only the CROSSING edges' t
     # parameters (vertex order, ~nv bytes) instead of the full [slots, D]
-    # stream — trades a device-side compaction scatter (~[slots*D] rows at
-    # ~30 ns/row, est. ~17 ms at 257^3) for ~45% fewer record bytes
-    # (~7.7 ms at the 52 MB/s aggregate). Default OFF pending the TPU A/B
-    # (scripts/probe_tail_ab.py): by the scatter estimate it's a net loss,
-    # but the scalar-u8-row scatter has never been measured on the link
+    # stream — trades a device-side compaction scatter against ~45% fewer
+    # record bytes. Default ON from the round-4 TPU A/B
+    # (scripts/probe_tail_ab.py): compact+opt 131.2 ms vs masked+opt
+    # 140.6 ms e2e at 257^3 — the ~30 ns/row scatter estimate was wrong
+    # (the fetch-stream byte savings dominate on the ~52 MB/s link)
 
     # ---- inference ---------------------------------------------------------
     iso: float = 0.0               # marching-cubes iso surface at inference

@@ -149,9 +149,20 @@ def _run_pbm(ctx: dict, n_blocks: int):
                ctx["trans_d"], ctx["sdf_d"])
 
 
+class _NoOptFuture:
+    """Stand-in for the speculative-assembly future when optimistic
+    assembly is disabled: collect's self-check sees None and takes the
+    exact synchronous join, identical to a speculation that bailed."""
+
+    @staticmethod
+    def result():
+        return None
+
+
 def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                     sdf_params: np.ndarray, cfg: Config, iso: float,
-                    block: int = 32768) -> dict:
+                    block: int = 32768, optimistic: bool | None = None
+                    ) -> dict:
     """Stage 1 of the production fast path: dispatch phase-a and — when a
     bucket prediction exists (_SPEC_CACHE) — phase-b+scan and the record
     pass back-to-back, starting the record fetch streams. NO host sync
@@ -227,9 +238,21 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         # optimistic assembly: builds the mesh on a background thread as
         # soon as the fetches land — concurrently with the validation
         # scalars' round trip in _fused_collect, which then only accepts
-        # (common) or discards (rare fallback) the result
-        opt = marching_mod.records_assemble_speculative(
-            futs, sdf_params, cfg.grid_resolution, ctx["mode"], nvcap)
+        # (common) or discards (rare fallback) the result. Single-image
+        # callers default ON even on a 1-core host: the main thread
+        # blocks idle on the flags future (GIL released), so the worker
+        # overlaps for free (round-4 TPU A/B: compact+opt 131-133 ms vs
+        # compact no-opt ~166 bench). The FARM passes optimistic=False —
+        # there the main thread is busy dispatching the next image and
+        # the worker steals its core (farm 129 -> 249 ms/img regression)
+        if optimistic is None:
+            optimistic = True
+        if optimistic:
+            opt = marching_mod.records_assemble_speculative(
+                futs, sdf_params, cfg.grid_resolution, ctx["mode"], nvcap)
+        else:
+            import threading
+            opt = (_NoOptFuture, threading.Event())
         ctx.update(pred=(nb_p, ni_p, batch_p),
                    pbm=(vol, esc_b, ids, ncd, gov_d), blk=blk_d,
                    futs=futs, opt=opt)
@@ -636,8 +659,13 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
                     and cfg.sdf_res % cfg.sparse_stride == 0
                     and (not cfg.binary or cfg.binary_sparse)
                     and img.ndim == 3):
+                # optimistic=False: the farm's writer pool already owns
+                # assembly (deferred fin), so speculative assembly here
+                # only adds threads outside the pool's core clamp — on the
+                # 1-core eval host it regressed the farm 129 -> 249 ms/img
                 ctx = _fused_dispatch(params, img[None], rec.trans_mat,
-                                      sdf.sdf_params, cfg, iso=cfg.iso)
+                                      sdf.sdf_params, cfg, iso=cfg.iso,
+                                      optimistic=False)
             if pending is not None:
                 flush(pending)
             pending = (ctx, rec, sdf, img, out, f"{cat_id}/{obj}/{view}")

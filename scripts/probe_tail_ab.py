@@ -61,9 +61,10 @@ def main() -> None:
         print(f"{tag}: {ms:.1f} ms", flush=True)
         return ms
 
-    # C. default: compact tq + optimistic assembly
-    run(cfg, "C compact+opt")
-    # B. masked stream + optimistic assembly
+    # C. compact tq + optimistic assembly (opt-in since compact_tq
+    # defaulted off pending this A/B)
+    run(cfg.replace(compact_tq=True), "C compact+opt")
+    # B. masked stream + optimistic assembly (the current default)
     run(cfg.replace(compact_tq=False), "B masked+opt")
     # A. masked, optimistic assembly bypassed (join exact path): emulate by
     # clearing the opt future before collect
@@ -99,8 +100,8 @@ def main() -> None:
         if ctx["pred"] is not None:
             vol, esc_b, ids, ncd, gov_d = ctx["pbm"]
             nb_p, ni_p, batch_p = ctx["pred"]
-            nvcap = ctx["nv"][1] or m._qbucket(
-                max(4, int(int(ctx["nv"][0]) * 12 // 10)))
+            nv_p = pipeline._SPEC_CACHE[ctx["key"]][2]
+            nvcap = m._qbucket(max(4, int(nv_p * 1.15)))
 
             def chain(f, k=8):
                 outs = [f() for _ in range(k)]

@@ -409,8 +409,8 @@ def test_speculative_ladder_reaches_compact_mode():
     cfg = synthetic.tiny_config(sdf_res=64, num_classes=32, width_mult=0.125,
                                 compute_dtype="float32")
     # wide autocal band at a small coarse grid: raise the cap so the
-    # sparse fast path engages instead of falling back; compact_tq opt-in
-    # (default off pending the TPU scatter-vs-bytes A/B)
+    # sparse fast path engages instead of falling back; compact_tq pinned
+    # explicitly (it is also the default since the round-4 TPU A/B)
     cfg = cfg.replace(cell_cap_frac=0.9, compact_tq=True)
     params = synthetic.analytic_octahedron_params(cfg, r=0.6)
     rng = np.random.RandomState(0)
@@ -422,8 +422,10 @@ def test_speculative_ladder_reaches_compact_mode():
     modes = []
     for i in range(4):
         img = rng.rand(1, 137, 137, 3).astype(np.float32)
+        # optimistic=True: pin the speculative-assembly accept path even
+        # on 1-core CI hosts where the auto gate would disable it
         ctx = pipeline._fused_dispatch(params, img, trans, sdfp, cfg,
-                                       iso=cfg.iso)
+                                       iso=cfg.iso, optimistic=True)
         modes.append(ctx.get("mode"))
         out = pipeline._fused_collect(ctx)
         assert out is not None
