@@ -452,7 +452,8 @@ def cmd_evaluate(args) -> None:
         lst_dir=os.path.join(args.data_root, "filelists"),
         split=args.split, metrics=args.metrics.split(","),
         num_points=args.num_points, view_num=args.view_num,
-        dim=args.dim, protocol=args.protocol, device_iou=args.device_iou)
+        dim=args.dim, protocol=args.protocol, device_iou=args.device_iou,
+        cache_dir=args.cache_dir)
     print(json.dumps(results, indent=2))
     if args.out:
         with open(args.out, "w") as f:
@@ -650,6 +651,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "uniform surface sampling")
     p.add_argument("--device-iou", action="store_true",
                    help="voxelize on device (fast on single-core hosts)")
+    p.add_argument("--cache-dir", default=None,
+                   help="per-object metric cache: a killed full-split eval "
+                        "resumes, skipping finished objects (reference "
+                        "caches NN distances, test_f_score.py:203-231)")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_evaluate)
 

@@ -71,6 +71,11 @@ def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
         th = np.asarray(F_THRESHOLDS, np.float32) * 0.01 * SIDE_LEN
         fs = metrics.f_score(pred_arr, gt_arr, th)
         out["f1"] = np.asarray(fs["f1"]).mean(axis=1).tolist()  # per thresh
+        # per-object mean precision/recall feed the reference's overall
+        # aggregate: category-weighted P/R means, THEN the harmonic mean
+        # (test_f_score.py:176-181) — not a mean of per-object F1s
+        out["f_precision"] = np.asarray(fs["precision"]).mean(axis=1).tolist()
+        out["f_recall"] = np.asarray(fs["recall"]).mean(axis=1).tolist()
     if "iou" in which:
         gt = codecs.read_obj(gt_mesh)
         iou_fn = voxelize.iou_meshes_device if device_iou \
@@ -83,12 +88,42 @@ def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
     return out
 
 
+def _cache_key(num_points: int, which: set[str], dim: int, protocol: str,
+               n_preds: int) -> dict:
+    return {"num_points": num_points, "which": sorted(which), "dim": dim,
+            "protocol": protocol, "n_preds": n_preds}
+
+
+def _cache_load(path: str, key: dict) -> dict | None:
+    """Per-object distance/metric cache, the reference's resume mechanism
+    (test_f_score.py:203-231 caches NN distances to txt so a killed
+    full-split eval skips finished objects). We cache the final per-object
+    metric dict keyed by the full protocol config."""
+    import json
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return blob.get("result") if blob.get("key") == key else None
+
+
+def _cache_store(path: str, key: dict, result: dict) -> None:
+    import json
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"key": key, "result": result}, f)
+    os.replace(tmp, path)  # atomic: a killed eval never leaves torn JSON
+
+
 def evaluate_tree(pred_dir: str, gt_dir: str, lst_dir: str,
                   split: str = "test", metrics_list: list[str] | None = None,
                   metrics: list[str] | None = None, num_points: int = 2048,
                   view_num: int = 24, dim: int = 110, workers: int = 8,
                   protocol: str = "vertices",
-                  device_iou: bool = False) -> dict:
+                  device_iou: bool = False,
+                  cache_dir: str | None = None) -> dict:
     """pred tree: {pred_dir}/{cat}/{cat}_{obj}_{view}.obj
     gt tree:   {gt_dir}/{cat}/{obj}/isosurf.obj"""
     which = set(metrics or metrics_list or ["cd", "emd", "fscore", "iou"])
@@ -108,11 +143,25 @@ def evaluate_tree(pred_dir: str, gt_dir: str, lst_dir: str,
             gt_mesh = os.path.join(gt_dir, cat, obj, "isosurf.obj")
             preds = [os.path.join(pred_dir, cat, f"{cat}_{obj}_{v:02d}.obj")
                      for v in range(view_num)]
-            jobs.append((gt_mesh, preds))
+            jobs.append((obj, gt_mesh, preds))
+
+        def run_one(j: tuple) -> dict | None:
+            obj, gt_mesh, preds = j
+            key = _cache_key(num_points, which, dim, protocol, len(preds))
+            cpath = (os.path.join(cache_dir, cat, obj + ".json")
+                     if cache_dir else None)
+            if cpath is not None:
+                hit = _cache_load(cpath, key)
+                if hit is not None:
+                    return hit
+            r = evaluate_object(gt_mesh, preds, num_points, which, dim,
+                                protocol=protocol, device_iou=device_iou)
+            if r is not None and cpath is not None:
+                _cache_store(cpath, key, r)
+            return r
+
         with ThreadPoolExecutor(workers) as pool:
-            for r in pool.map(lambda j: evaluate_object(
-                    j[0], j[1], num_points, which, dim, protocol=protocol,
-                    device_iou=device_iou), jobs):
+            for r in pool.map(run_one, jobs):
                 if r is not None:
                     per_obj.append(r)
         if not per_obj:
@@ -127,6 +176,12 @@ def evaluate_tree(pred_dir: str, gt_dir: str, lst_dir: str,
         if f1s:
             summary["f1"] = np.mean(np.asarray(f1s), axis=0).tolist()
             summary["f1_thresholds_pct"] = list(F_THRESHOLDS)
+            # category-mean precision/recall (reference f_score_cat returns
+            # exactly these two vectors + the object count)
+            for k in ("f_precision", "f_recall"):
+                vals = [o[k] for o in per_obj if k in o]
+                if vals:
+                    summary[k] = np.mean(np.asarray(vals), axis=0).tolist()
         results["categories"][cat] = summary
         total_objs += len(per_obj)
         for k, v in summary.items():
@@ -134,5 +189,22 @@ def evaluate_tree(pred_dir: str, gt_dir: str, lst_dir: str,
                 weighted[k] = weighted.get(k, 0.0) + v * len(per_obj)
     results["overall"] = {k: v / max(total_objs, 1)
                           for k, v in weighted.items() if k != "objects"}
+    # overall F-score: object-count-weighted average of the per-category
+    # precision and recall vectors, THEN the harmonic mean — the exact
+    # aggregate of /root/reference/test/test_f_score.py:176-181
+    # (pre_w_avg/rec_w_avg via np.average(..., weights=cnt_lst))
+    pcats = [(c, s) for c, s in results["categories"].items()
+             if "f_precision" in s]
+    if pcats:
+        cnts = np.asarray([s["objects"] for _, s in pcats], np.float64)
+        pre = np.average(np.asarray([s["f_precision"] for _, s in pcats]),
+                         axis=0, weights=cnts)
+        rec = np.average(np.asarray([s["f_recall"] for _, s in pcats]),
+                         axis=0, weights=cnts)
+        f1 = 2 * pre * rec / np.maximum(pre + rec, 1e-9)
+        results["overall"]["f_precision"] = pre.tolist()
+        results["overall"]["f_recall"] = rec.tolist()
+        results["overall"]["f1"] = f1.tolist()
+        results["overall"]["f1_thresholds_pct"] = list(F_THRESHOLDS)
     results["total_objects"] = total_objs
     return results

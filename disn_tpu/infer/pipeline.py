@@ -161,7 +161,7 @@ class _NoOptFuture:
 
 def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                     sdf_params: np.ndarray, cfg: Config, iso: float,
-                    block: int = 32768, optimistic: bool | None = None
+                    block: int = 32768, optimistic: bool = True
                     ) -> dict:
     """Stage 1 of the production fast path: dispatch phase-a and — when a
     bucket prediction exists (_SPEC_CACHE) — phase-b+scan and the record
@@ -245,14 +245,12 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         # compact no-opt ~166 bench). The FARM passes optimistic=False —
         # there the main thread is busy dispatching the next image and
         # the worker steals its core (farm 129 -> 249 ms/img regression)
-        if optimistic is None:
-            optimistic = True
         if optimistic:
             opt = marching_mod.records_assemble_speculative(
                 futs, sdf_params, cfg.grid_resolution, ctx["mode"], nvcap)
         else:
             import threading
-            opt = (_NoOptFuture, threading.Event())
+            opt = (_NoOptFuture(), threading.Event())
         ctx.update(pred=(nb_p, ni_p, batch_p),
                    pbm=(vol, esc_b, ids, ncd, gov_d), blk=blk_d,
                    futs=futs, opt=opt)

@@ -61,6 +61,12 @@ def main() -> None:
     vol, esc_b, ids, ncd, gov_d = ctx["pbm"]
     nb_p, ni_p, batch_p = ctx["pred"]
     nv_p = pipeline._SPEC_CACHE[ctx["key"]][2]
+    if nv_p is None:
+        # _update_pred clears nv when a warm image's record slots
+        # under-covered the scan — every chain below depends on nvcap
+        print("nv unpredicted after warm-up; cannot size the compact "
+              "chains — rerun (warm images must cover the scan)")
+        sys.exit(1)
     nvcap = m._qbucket(max(4, int(nv_p * 1.15)))
     nc = int(np.asarray(ncd))
     print(f"ids={ids.shape[0]} n_cells={nc} n_iter={ni_p} "

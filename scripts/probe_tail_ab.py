@@ -101,6 +101,11 @@ def main() -> None:
             vol, esc_b, ids, ncd, gov_d = ctx["pbm"]
             nb_p, ni_p, batch_p = ctx["pred"]
             nv_p = pipeline._SPEC_CACHE[ctx["key"]][2]
+            if nv_p is None:
+                # _update_pred clears nv when a warm image's record slots
+                # under-covered the scan — the compact chain is undefined
+                print("nv unpredicted; skipping record-stage device A/B")
+                return
             nvcap = m._qbucket(max(4, int(nv_p * 1.15)))
 
             def chain(f, k=8):

@@ -422,8 +422,8 @@ def test_speculative_ladder_reaches_compact_mode():
     modes = []
     for i in range(4):
         img = rng.rand(1, 137, 137, 3).astype(np.float32)
-        # optimistic=True: pin the speculative-assembly accept path even
-        # on 1-core CI hosts where the auto gate would disable it
+        # optimistic=True (the default, pinned here explicitly): this test
+        # asserts the speculative-assembly accept path specifically
         ctx = pipeline._fused_dispatch(params, img, trans, sdfp, cfg,
                                        iso=cfg.iso, optimistic=True)
         modes.append(ctx.get("mode"))
