@@ -554,8 +554,8 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
                       log_dir: str, cam_est: bool = False,
                       sparse: bool = True, logger: Any = None,
                       writers: int = 4, prefetch: int = 4,
-                      shard_index: int = 0, shard_count: int = 1
-                      ) -> list[str]:
+                      shard_index: int = 0, shard_count: int = 1,
+                      depth: int = 2) -> list[str]:
     """create_sdf.py equivalent: reconstruct every (cat, obj, view) of a
     split into the reference's output tree. Returns written OBJ paths.
 
@@ -631,12 +631,20 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
         if logger:
             logger.log(f"reconstructed {tag}")
 
-    # software pipeline, one image deep: dispatch image k's device chain
-    # (no sync — _fused_dispatch), then collect image k-1. The main thread
-    # still owns ALL device traffic (round-2 finding: device work from
-    # worker threads contends on the tunnel); the pool only joins already-
-    # in-flight fetches and runs native assembly + OBJ writes.
-    pending = None
+    # software pipeline, `depth` images deep: dispatch image k's device
+    # chain (no sync — _fused_dispatch), then collect image k-depth. The
+    # main thread still owns ALL device traffic (round-2 finding: device
+    # work from worker threads contends on the tunnel); the pool only
+    # joins already-in-flight fetches and runs native assembly + OBJ
+    # writes. depth=2 (round 4): at depth 1 the device idled ~15-50
+    # ms/image on the 1-core eval host — the writer pool's C work
+    # (GIL-released but core-occupying) stretched the main thread's ~20 ms
+    # dispatch segment past the 67 ms device window; a second queued image
+    # gives the host a full extra window of slack (interleaved A/B: 86 ->
+    # 74-78 ms/img; depth 3 measured no further gain). Each pending image
+    # pins ~35 MB of device volume + ~0.5 MB of fetches.
+    from collections import deque
+    pendings: deque = deque()
     try:
         while True:
             item = q.get()
@@ -664,12 +672,12 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
                 ctx = _fused_dispatch(params, img[None], rec.trans_mat,
                                       sdf.sdf_params, cfg, iso=cfg.iso,
                                       optimistic=False)
-            if pending is not None:
-                flush(pending)
-            pending = (ctx, rec, sdf, img, out, f"{cat_id}/{obj}/{view}")
-        if pending is not None:
-            flush(pending)
-            pending = None
+            pendings.append((ctx, rec, sdf, img, out,
+                             f"{cat_id}/{obj}/{view}"))
+            while len(pendings) > max(1, depth):
+                flush(pendings.popleft())
+        while pendings:
+            flush(pendings.popleft())
         for f in futures:
             f.result()
     finally:
