@@ -1003,6 +1003,45 @@ def _tq_bits(R: int) -> int:
     return 8 if R - 1 >= 128 else 16
 
 
+def _dense_record_words(volume: jnp.ndarray, iso: float) -> list:
+    """Pack imask + the D owned-edge t parameters DENSELY into flat i32
+    word arrays [E^3] (u8 tq: 2 words — tq0..3 | tq4..6+imask<<24; u16 tq:
+    4 words). The 7 corner-shifted reads are fused slice reads of the
+    edge-padded volume COMBINED BY INTEGER ARITHMETIC into flat words — no
+    [.., 8]-minor stack ever materializes (that relayout is the ~17 ms
+    _pack8 trap; this build measured 0.94 ms at 257^3)."""
+    pair_i_np, pair_j_np, _, _ = _owned_tables()
+    D = len(pair_i_np)
+    assert (m := CORNERS[pair_i_np]).max() == 0 and D == 7, m  # all from c0
+    R = volume.shape[0]
+    E = R
+    vp = jnp.pad(volume, ((0, 1),) * 3, mode="edge")
+
+    def sh(ox, oy, oz):
+        return jax.lax.slice(vp, (oz, oy, ox), (oz + E, oy + E, ox + E))
+
+    v0 = sh(0, 0, 0)
+    imask = (v0 < iso).astype(jnp.int32)  # corner 0 = bit 0
+    scale = 255.0 if _tq_bits(R) == 8 else 65535.0
+    tq = []
+    for d in range(D):
+        ox, oy, oz = CORNERS[pair_j_np[d]].tolist()
+        vj = sh(ox, oy, oz)
+        k = int(pair_j_np[d])
+        imask = imask | ((vj < iso).astype(jnp.int32) << k)
+        dv = vj - v0
+        t = jnp.where(jnp.abs(dv) > 1e-12, (iso - v0) / dv, 0.5)
+        tq.append(jnp.round(jnp.clip(t, 0.0, 1.0) * scale)
+                  .astype(jnp.int32))
+    if _tq_bits(R) == 8:
+        words = [tq[0] | (tq[1] << 8) | (tq[2] << 16) | (tq[3] << 24),
+                 tq[4] | (tq[5] << 8) | (tq[6] << 16) | (imask << 24)]
+    else:
+        words = [tq[0] | (tq[1] << 16), tq[2] | (tq[3] << 16),
+                 tq[4] | (tq[5] << 16), tq[6] | (imask << 16)]
+    return [w.reshape(-1) for w in words]
+
+
 @functools.partial(jax.jit, static_argnames=("iso", "n_iter", "batch"))
 def _extract_records(volume: jnp.ndarray, cell_ids: jnp.ndarray,
                      n_cells: jnp.ndarray, *, iso: float, n_iter: int,
@@ -1013,60 +1052,63 @@ def _extract_records(volume: jnp.ndarray, cell_ids: jnp.ndarray,
     length at small grids / u8 at production grids (see _tq_bits; the u8
     transfer is ~35% fewer record bytes over the ~50 MB/s tunnel).
 
+    DENSE-PRECOMPUTE + ROW GATHER (round 4): the per-slot work was 8
+    scalar corner gathers — 656k gather rows at ~82k production slots,
+    ~9 ms by the ~14 ns/row TPU gather law, the whole stage's cost
+    (probe_recstage_slope). Instead imask + all D t parameters are
+    computed DENSELY over the volume (fused shifted slice reads packed
+    into flat i32 words by integer arithmetic — 0.94 ms at 257^3, no
+    minor-dim relayout) and each slot gathers ONE packed word per array
+    (2x82k rows, 0.17 ms). Measured 8.97 -> 2.11 ms with BIT-IDENTICAL
+    (rec, tq) on every slot (scripts/probe_dense_records.py); costs a
+    transient [E^3] x 8B (u8 mode) HBM scratch — 136 MB at 257^3.
+
     No compaction, no scatter, no output-size sync: shapes depend only on
     (n_iter, batch), so the host fetches immediately and assembles
     verts+faces off the device's critical path (assemble_mesh_np oracle /
-    native C fast path). Returns (rec u32 [S] = crossmask<<8 | insidemask,
-    tq u16 [S, D])."""
+    native C fast path). Returns (rec u16 [S] = crossmask<<8 | insidemask,
+    tq u8|u16 [S, D])."""
     pair_i_np, pair_j_np, _, _ = _owned_tables()
     D = len(pair_i_np)
     R = volume.shape[0]
     E = R
-    # 8 direct scalar gathers from the edge-padded flat volume: a _pack8
-    # materialization costs ~17 ms at 257^3 (the 8 shifted slices are
-    # lane-misaligned copies in every layout tried) while TPU gathers run
-    # ~10 ns/row — 8 x batch scalar rows is ~6 ms cheaper per image
-    vflat = jnp.pad(volume, ((0, 1),) * 3, mode="edge").reshape(-1)
-    W = E + 1
     bad = jnp.asarray((CORNERS[pair_i_np] | CORNERS[pair_j_np]) > 0)
-    slot_base = jnp.arange(batch, dtype=jnp.int32)
-
-    def rbatch(i):
-        cids = jax.lax.dynamic_slice_in_dim(cell_ids, i * batch, batch)
-        cz = cids // (E * E)
-        cy = (cids // E) % E
-        cx = cids % E
-        vals = jnp.stack(
-            [jnp.take(vflat, ((cz + oz) * W + (cy + oy)) * W + (cx + ox))
-             for (ox, oy, oz) in CORNERS.tolist()], axis=-1)
-        in_range = (i * batch + slot_base) < n_cells
-        inside = vals < iso
-        vi = vals[:, pair_i_np]
-        vj = vals[:, pair_j_np]
-        ghost = jnp.stack([cx == R - 1, cy == R - 1, cz == R - 1], axis=-1)
-        aliased = jnp.any(ghost[:, None, :] & bad[None, :, :], axis=-1)
-        cross = (inside[:, pair_i_np] != inside[:, pair_j_np]) \
-            & in_range[:, None] & ~aliased
-        dv = vj - vi
-        t = jnp.where(jnp.abs(dv) > 1e-12, (iso - vi) / dv, 0.5)
-        t = jnp.clip(t, 0.0, 1.0)
-        if _tq_bits(R) == 8:
-            tq = jnp.round(t * 255.0).astype(jnp.uint8)
-        else:
-            tq = jnp.round(t * 65535.0).astype(jnp.uint16)
-        imask = jnp.sum(inside.astype(jnp.int32)
-                        * (1 << jnp.arange(8, dtype=jnp.int32))[None, :],
-                        axis=1)
-        cmask = jnp.sum(cross.astype(jnp.int32)
-                        * (1 << jnp.arange(D, dtype=jnp.int32))[None, :],
-                        axis=1)
-        # cmask(<=7b)<<8 | imask(8b) fits u16: halves the rec stream's
-        # bytes over the ~50 MB/s tunnel (host assemblers cast to u32)
-        rec = ((cmask << 8) | imask).astype(jnp.uint16)
-        return rec, tq
-
-    rec_s, tq_s = jax.lax.map(rbatch, jnp.arange(n_iter, dtype=jnp.int32))
-    return rec_s.reshape(-1), tq_s.reshape(-1, D)
+    words = _dense_record_words(volume, iso)
+    S = n_iter * batch
+    cids = jax.lax.slice_in_dim(cell_ids, 0, S)
+    rows = [jnp.take(w, cids) for w in words]
+    if _tq_bits(R) == 8:
+        r0, r1 = rows
+        imask = (r1 >> 24) & 0xFF
+        tq = jnp.stack([(r0 >> 0) & 0xFF, (r0 >> 8) & 0xFF,
+                        (r0 >> 16) & 0xFF, (r0 >> 24) & 0xFF,
+                        (r1 >> 0) & 0xFF, (r1 >> 8) & 0xFF,
+                        (r1 >> 16) & 0xFF], axis=-1).astype(jnp.uint8)
+    else:
+        r0, r1, r2, r3 = rows
+        imask = (r3 >> 16) & 0xFF
+        tq = jnp.stack([(r0 >> 0) & 0xFFFF, (r0 >> 16) & 0xFFFF,
+                        (r1 >> 0) & 0xFFFF, (r1 >> 16) & 0xFFFF,
+                        (r2 >> 0) & 0xFFFF, (r2 >> 16) & 0xFFFF,
+                        (r3 >> 0) & 0xFFFF], axis=-1).astype(jnp.uint16)
+    in_range = jnp.arange(S, dtype=jnp.int32) < n_cells
+    cz = cids // (E * E)
+    cy = (cids // E) % E
+    cx = cids % E
+    ghost = jnp.stack([cx == R - 1, cy == R - 1, cz == R - 1], axis=-1)
+    aliased = jnp.any(ghost[:, None, :] & bad[None, :, :], axis=-1)
+    bitj = (imask[:, None] >> jnp.asarray(pair_j_np)[None, :]) & 1
+    # NB: like the pre-round-4 gather path, imask is NOT masked by
+    # in_range — padded slots carry cell 0's inside mask with cmask 0
+    # (assemblers only read slots with crossings; bit-parity preserved)
+    cross = ((imask[:, None] & 1) != bitj) & in_range[:, None] & ~aliased
+    cmask = jnp.sum(cross.astype(jnp.int32)
+                    * (1 << jnp.arange(D, dtype=jnp.int32))[None, :],
+                    axis=1)
+    # cmask(<=7b)<<8 | imask(8b) fits u16: halves the rec stream's
+    # bytes over the ~50 MB/s tunnel (host assemblers cast to u32)
+    rec = ((cmask << 8) | imask).astype(jnp.uint16)
+    return rec, tq
 
 
 def make_sharded_records_fn(mesh, R: int, *, iso: float, n_iter: int,
