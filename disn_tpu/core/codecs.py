@@ -13,6 +13,7 @@ import os
 import struct
 import sys
 from dataclasses import dataclass
+from subprocess import CalledProcessError
 
 import numpy as np
 
@@ -209,7 +210,20 @@ def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray | None = None) 
 
 def read_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
     """Minimal OBJ reader: vertices + triangulated faces (fan-triangulates
-    polygons; ignores normals/texcoords/materials)."""
+    polygons; ignores normals/texcoords/materials).
+
+    Large files route through the native C parser (native.parse_obj, same
+    semantics, tested for parity): the Python line loop costs ~seconds on a
+    350k-tri mesh on single-core eval hosts and holds the GIL — it would
+    dominate a full-split evaluation (GT + 24 view meshes per object) the
+    way Python OBJ formatting dominated the farm before objwriter.cpp."""
+    if os.path.getsize(path) > 1 << 16:
+        try:
+            from disn_tpu import native
+            with open(path, "rb") as f:
+                return native.parse_obj(f.read())
+        except (OSError, CalledProcessError, ValueError):
+            pass  # native build unavailable/odd file: Python fallback
     verts: list[list[float]] = []
     faces: list[list[int]] = []
     with open(path) as f:

@@ -192,8 +192,12 @@ def dense_grid_via_cells(params: Params, endpoints: dict,
     vol = jnp.full((resolution ** 3,), jnp.nan, jnp.float32)
     vol = vol.at[flats].set(vals, mode="drop")
 
-    # boundary planes z=R-1, y=R-1, x=R-1 (same scheme as infer/sparse)
+    # boundary planes z=R-1, y=R-1, x=R-1 (same scheme as infer/sparse).
+    # Tighten the block to the real point count: the coarse pass (rc=65)
+    # has only 12,675 plane points, and a 65536 pad decoded 5x the work
+    # through the gather-bound XLA path (1.87 -> 0.41 ms, probe_phase_a)
     n_plane = resolution * resolution
+    plane_block = min(plane_block, -(-3 * n_plane // 256) * 256)
     total = -(-3 * n_plane // plane_block) * plane_block
 
     def plane(i):

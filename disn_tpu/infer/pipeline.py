@@ -84,34 +84,46 @@ def volume_to_mesh(vol: np.ndarray, sdf_params: np.ndarray, iso: float = 0.0,
     return verts, faces
 
 
-# per-config bucket predictions (n_blocks, n_iter, nv, low_streak) for the
-# speculative dispatch. Predictions RATCHET UP immediately (an
-# under-prediction costs a full stage re-run + an extra round trip) and
-# decay back down only after _SHRINK_STREAK consecutive smaller images
-# (over-prediction costs only padded kernel slots / dead fetch bytes,
-# ~12.5% per quarter-pow2 bucket step) — so a farm alternating between
-# object sizes doesn't thrash between re-runs.
+# per-config bucket predictions (n_blocks, n_iter, nv, low_streak, nvc)
+# for the speculative dispatch; nvc = (n_iter, batch, (nv_0..nv_C-1)) per-
+# chunk crossing counts at the marching._chunk_bounds slot ranges (None
+# until a covering image seeds them — they size the CHUNKED record stage's
+# tqc buckets). Predictions RATCHET UP immediately (an under-prediction
+# costs a full stage re-run + an extra round trip) and decay back down
+# only after _SHRINK_STREAK consecutive smaller images (over-prediction
+# costs only padded kernel slots / dead fetch bytes, ~12.5% per
+# quarter-pow2 bucket step) — so a farm alternating between object sizes
+# doesn't thrash between re-runs.
 _SPEC_CACHE: dict = {}
 _SHRINK_STREAK = 12
 
 
-def _update_pred(key, nb: int, ni: int, nv: int | None) -> None:
+def _merge_nvc(nvc_p, nvc):
+    """Elementwise-ratcheted per-chunk nv prediction; boundaries (n_iter,
+    batch) must match or the stored chunk counts are meaningless."""
+    if nvc_p is None or nvc is None or nvc_p[:2] != nvc[:2]:
+        return nvc
+    return (*nvc[:2], tuple(max(a, b) for a, b in zip(nvc_p[2], nvc[2])))
+
+
+def _update_pred(key, nb: int, ni: int, nv: int | None, nvc=None) -> None:
     """Fold this image's exact-needed buckets into the config's prediction
     with upward ratchet + streak-gated decay."""
     prev = _SPEC_CACHE.get(key)
     if prev is None:
-        _SPEC_CACHE[key] = (nb, ni, nv, 0)
+        _SPEC_CACHE[key] = (nb, ni, nv, 0, nvc)
         return
-    nb_p, ni_p, nv_p, streak = prev
+    nb_p, ni_p, nv_p, streak, nvc_p = prev
     nb_n, ni_n = max(nb, nb_p), max(ni, ni_p)
     nv_n = nv if (nv_p is None or nv is None) else max(nv, nv_p)
-    if (nb_n, ni_n, nv_n) != (nb, ni, nv):
+    nvc_n = _merge_nvc(nvc_p, nvc)
+    if (nb_n, ni_n, nv_n, nvc_n) != (nb, ni, nv, nvc):
         if streak + 1 >= _SHRINK_STREAK:
-            _SPEC_CACHE[key] = (nb, ni, nv, 0)
+            _SPEC_CACHE[key] = (nb, ni, nv, 0, nvc)
             return
-        _SPEC_CACHE[key] = (nb_n, ni_n, nv_n, streak + 1)
+        _SPEC_CACHE[key] = (nb_n, ni_n, nv_n, streak + 1, nvc_n)
         return
-    _SPEC_CACHE[key] = (nb, ni, nv, 0)
+    _SPEC_CACHE[key] = (nb, ni, nv, 0, nvc)
 
 
 def _fused_bcap(n_blocks: int, sizes: dict) -> int:
@@ -129,11 +141,12 @@ def _exact_blocks(c: int, sizes: dict) -> int:
 
 
 def _needed_blocks(c: int, sizes: dict) -> int:
-    # quarter-pow2 bucket (<=4 jit variants per octave): a pow2 bucket
-    # padded the 257^3 fine pass 16384 vs 11712 active cells — 40% wasted
-    # MXU work in the dominant kernel
+    # eighth-pow2 bucket (<=8 jit variants per octave; was quarter, and a
+    # plain pow2 bucket padded the 257^3 fine pass 16384 vs 11712 active
+    # cells — 40% wasted MXU work in the dominant kernel; the quarter step
+    # still wasted 2560 cells ~ 2.5 ms at the production 17.9k count)
     from disn_tpu.ops import marching as marching_mod
-    return min(sizes["max_blocks"], marching_mod._qbucket(_exact_blocks(c, sizes)))
+    return min(sizes["max_blocks"], marching_mod._ebucket(_exact_blocks(c, sizes)))
 
 
 def _run_pbm(ctx: dict, n_blocks: int):
@@ -198,7 +211,7 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     # the tunnel at production counts
     pred = _SPEC_CACHE.get(ctx["key"])
     if pred is not None:
-        nb_p, ni_p, nv_p, _ = pred
+        nb_p, ni_p, nv_p, _, nvc_p = pred
         vol, esc_b, ids, ncd, gov_d, blk_d = _run_pbm(ctx, nb_p)
         ni_p, batch_p = marching_mod.records_n_iter(
             int(ids.shape[0]), ni_p * ctx["batch"], ctx["batch"])
@@ -214,20 +227,39 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         # step's critical path
         _, _, _, _, count, esc_a = ctx["pa"]
         scalars = (count, esc_a, esc_b, ncd, gov_d)
-        if nv_p is not None and cfg.compact_tq:
-            # vertex count predicted too: ship only the crossing edges' t
-            # parameters (vertex order), ~nv bytes instead of S*D; the
-            # record pass, compaction, and fetch splits ride ONE dispatch
-            nvcap = marching_mod._qbucket(max(4, int(nv_p * 1.15)))
-            rec0, rec1, tqc0, tqc1, flags_d = \
-                marching_mod._records_compact_split(
-                    vol, ids, ncd, iso=float(iso), n_iter=ni_p,
-                    batch=batch_p, nvcap=nvcap, scalars=scalars)
-            futs = marching_mod.records_submit(
-                (tqc0, tqc1, rec0, rec1, blk_d, flags_d))
-            ctx.update(mode="compact", nvcap=nvcap)
+        if (nv_p is not None and cfg.compact_tq and nvc_p is not None
+                and nvc_p[:2] == (ni_p, batch_p)):
+            # per-chunk vertex counts predicted too: CHUNKED compact record
+            # stage — each slot-range chunk is its own jit emitting
+            # (rec_k, crossing-only tqc_k), so the earliest chunks' fetch
+            # bytes cross the tunnel while the later chunks still compute
+            # (the unchunked stage made every byte wait for the last slot;
+            # chunk k's per-chunk nv rides the flags vector, which the
+            # last tiny jit emits from the chunk scalars)
+            words = marching_mod._dense_words_jit(vol, iso=float(iso))
+            bounds = marching_mod._chunk_bounds(ni_p)
+            nvcaps = tuple(
+                marching_mod._qbucket(max(4, int(nvk * 1.25)))
+                for nvk in nvc_p[2])
+            parts = [blk_d]
+            nv_ds = []
+            for k, (s, sz) in enumerate(bounds):
+                rec_k, tqc_k, nv_k = marching_mod._records_chunk_compact(
+                    words, ids, ncd, R=cfg.grid_resolution,
+                    start=s * batch_p, size=sz * batch_p, nvcap=nvcaps[k])
+                parts += [rec_k, tqc_k]
+                nv_ds.append(nv_k)
+            flags_d = marching_mod._flags_stack([*scalars, *nv_ds])
+            parts.append(flags_d)
+            subs = marching_mod.records_submit(parts)
+            C = len(bounds)
+            # futs layout [blk, rec_0.., tqc_0.., flags]; submission was
+            # readiness order (chunk-interleaved) so early bytes stream
+            # while later chunks compute
+            futs = ([subs[0]] + [subs[1 + 2 * k] for k in range(C)]
+                    + [subs[2 + 2 * k] for k in range(C)] + [subs[-1]])
+            ctx.update(mode="cchunk", nvcap=nvcaps)
         else:
-            nvcap = None
             rec_d, tq0, tq1, tq2, flags_d = \
                 marching_mod._records_masked_split(
                     vol, ids, ncd, iso=float(iso), n_iter=ni_p,
@@ -247,7 +279,8 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         # the worker steals its core (farm 129 -> 249 ms/img regression)
         if optimistic:
             opt = marching_mod.records_assemble_speculative(
-                futs, sdf_params, cfg.grid_resolution, ctx["mode"], nvcap)
+                futs, sdf_params, cfg.grid_resolution, ctx["mode"],
+                ctx["nvcap"])
         else:
             import threading
             opt = (_NoOptFuture(), threading.Event())
@@ -282,19 +315,33 @@ def _fused_collect(ctx: dict, defer: bool = False
         futs = ctx["futs"]
         nvcap = ctx["nvcap"]
         opt_fut, opt_cancel = ctx["opt"]
+        mode = ctx["mode"]
         # the validation scalars arrive ON the record fetch streams (a
-        # tiny 6th buffer) — no bare device_get round trip on the hit path
-        c, ea, eb, nc, gov, nv = (int(x) for x in futs[5].result())
+        # tiny extra buffer) — no bare device_get round trip on the hit
+        # path. Layout: masked [*scalars, nv, nv_0..C-1] on futs[5];
+        # cchunk [*scalars, nv_0..C-1] on futs[-1] (nv = sum of chunks)
+        flags = [int(x) for x in
+                 (futs[-1] if mode == "cchunk" else futs[5]).result()]
+        if mode == "cchunk":
+            c, ea, eb, nc, gov = flags[:5]
+            nvks = flags[5:]
+            nv = sum(nvks)
+        else:
+            c, ea, eb, nc, gov, nv = flags[:6]
+            nvks = flags[6:]
         if c > sizes["cell_cap"] or ea > 0:
             opt_cancel.set()
             return None
         covered = ni_p * batch_p >= nc
-        # nv is trustworthy only when the record slots covered nc (else the
-        # compaction ran over a truncated slot set and undercounts)
+        # nv (and the per-chunk counts) are trustworthy only when the
+        # record slots covered nc (else the compaction ran over a
+        # truncated slot set and undercounts)
         _update_pred(key, _needed_blocks(c, sizes),
                      marching_mod.records_n_iter(
                          int(ids.shape[0]), nc, batch)[0],
-                     nv if covered else None)
+                     nv if covered else None,
+                     (ni_p, batch_p, tuple(nvks))
+                     if covered and nvks else None)
         if nb_p >= _exact_blocks(c, sizes):
             # prediction covered the work: the speculative results are the
             # exact results (padded slots were masked in-kernel)
@@ -302,8 +349,11 @@ def _fused_collect(ctx: dict, defer: bool = False
                 opt_cancel.set()
                 return None
             if gov <= 0:
-                if covered and (nvcap is None or nv <= nvcap):
-                    def fin(nc=nc, nv=nv, mode=ctx["mode"]):
+                caps_ok = (nvcap is None
+                           or (all(a <= b for a, b in zip(nvks, nvcap))
+                               if mode == "cchunk" else nv <= nvcap))
+                if covered and caps_ok:
+                    def fin(nc=nc, nv=nv, mode=mode):
                         # the optimistic assembly has been running since
                         # the fetches landed (concurrent with the scalar
                         # sync above); its self-derived counts must agree
@@ -315,6 +365,9 @@ def _fused_collect(ctx: dict, defer: bool = False
                                 return verts, faces
                         # self-check bailed or disagreed (shouldn't happen
                         # when covered): exact synchronous join
+                        if mode == "cchunk":
+                            return marching_mod.records_finish_cchunk(
+                                futs, sdf_params, nc, nv, R)()
                         if mode == "compact":
                             return marching_mod.records_finish_compact(
                                 futs, sdf_params, nc, nv, R)()

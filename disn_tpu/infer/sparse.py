@@ -323,27 +323,25 @@ def _sparse_parts(cfg: Config, stride: int, block: int,
         n_boundary = jnp.sum((slot_ok & ((kcx == c - 1) | (kcy == c - 1)
                                          | (kcz == c - 1))).astype(jnp.int32))
 
-        def decode_planes(_):
-            v, fl = jax.lax.map(
-                plane_block,
-                jnp.arange(plane_total // block, dtype=jnp.int32))
-            return v.astype(jnp.float32), fl
-
-        def skip_planes(_):
-            shape = (plane_total // block, block)
-            return (jnp.zeros(shape, jnp.float32),
-                    jnp.full(shape, fine_r ** 3, jnp.int32))
-
-        pvals, pflats = jax.lax.cond(n_boundary > 0, decode_planes,
-                                     skip_planes, 0)
-
         # NOTE: a cell-granular scatter into a 4^3-blocked layout (~12k rows
         # instead of ~750k) was tried and measured SLOWER (pbm 100 -> 114 ms
         # at 257^3): the bracketing transposes with a 4-element minor dim
         # cost more on Mosaic than the point scatter saves. Keep per-point.
         vol = _upsample_aligned(vol_c, stride).reshape(-1)
         vol = vol.at[flats.reshape(-1)].set(vals.reshape(-1), mode="drop")
-        vol = vol.at[pflats.reshape(-1)].set(pvals.reshape(-1), mode="drop")
+
+        # plane decode AND its scatter under the cond: the skipped branch
+        # previously still paid ~262k drop-sentinel scatter rows (~1.8 ms
+        # at 257^3 — scatters cost per ROW whether or not they land)
+        def decode_planes(vol):
+            v, fl = jax.lax.map(
+                plane_block,
+                jnp.arange(plane_total // block, dtype=jnp.int32))
+            return vol.at[fl.reshape(-1)].set(
+                v.astype(jnp.float32).reshape(-1), mode="drop")
+
+        vol = jax.lax.cond(n_boundary > 0, decode_planes,
+                           lambda vol: vol, vol)
         return vol.reshape(fine_r, fine_r, fine_r), esc_b
 
     sizes = dict(cell_cap=cell_cap, cells_per_block=cells_per_block,

@@ -27,7 +27,7 @@ def _load() -> ctypes.CDLL:
             return _lib
         srcs = [os.path.join(_NATIVE_DIR, f)
                 for f in ("distfield.cpp", "objwriter.cpp",
-                          "meshassemble.cpp")]
+                          "objreader.cpp", "meshassemble.cpp")]
         if not os.path.exists(_LIB_PATH) or any(
                 os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
                 for s in srcs):
@@ -48,6 +48,13 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.parse_obj.restype = ctypes.c_int64
+        lib.parse_obj.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
         ]
         i32p = ctypes.POINTER(ctypes.c_int32)
         u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -340,6 +347,35 @@ def format_obj(verts: np.ndarray, faces: np.ndarray | None) -> memoryview:
     if n < 0:
         raise ValueError("format_obj buffer overflow")
     return memoryview(buf)[:n]
+
+
+def parse_obj(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Parse ASCII OBJ bytes -> (verts [V,3] f32, faces [F,3] i32 0-based,
+    polygons fan-triangulated) via the C parser — same semantics as the
+    pure-Python codecs.read_obj loop, ~50x faster on the single-core eval
+    hosts, and ctypes releases the GIL so evaluator worker threads overlap.
+    Caps come from cheap byte counts ('\\nv ' / '\\nf ' occurrences); the
+    rare polygon-heavy file that overflows the 2-triangles-per-face guess
+    retries once at the parser-reported exact counts."""
+    lib = _load()
+    vcap = max(1, data.count(b"\nv ") + (1 if data.startswith(b"v ") else 0))
+    fcap = 2 * max(1, data.count(b"\nf ")
+                   + (1 if data.startswith(b"f ") else 0))
+    counts = np.zeros(2, np.int64)
+    for _ in range(2):
+        verts = np.empty((vcap, 3), np.float32)
+        faces = np.empty((fcap, 3), np.int32)
+        rc = lib.parse_obj(
+            data, len(data),
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), vcap,
+            faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), fcap,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc == 0:
+            return (verts[:counts[0]].copy(), faces[:counts[1]].copy())
+        if rc != -1:
+            raise ValueError(f"parse_obj: malformed OBJ (rc={rc})")
+        vcap, fcap = int(counts[0]), int(counts[1])
+    raise ValueError("parse_obj: capacity retry failed")
 
 
 def compute_distance_field(verts: np.ndarray, faces: np.ndarray, res: int,

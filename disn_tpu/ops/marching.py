@@ -912,6 +912,18 @@ def _qbucket(n: int) -> int:
     return 2 * p
 
 
+def _ebucket(n: int) -> int:
+    """Eighth-pow2 bucket (<=6.7% overshoot) for the FINE-PASS block count:
+    every padded block is 512 cells x 64 pts of dead MXU work in the
+    dominant kernel (~1.1 ms/block at 257^3), so the finer step pays for
+    its extra jit variants there; fetch-side buckets stay quarter-pow2."""
+    p = _pow2b(max(n, 4)) // 2
+    for m in range(9, 17):
+        if n <= p * m // 8:
+            return p * m // 8
+    return 2 * p
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _slice_rows(buf, n: int):
     return jax.lax.slice_in_dim(buf, 0, n)
@@ -933,9 +945,15 @@ def _get_fetch_pool():
     with _FETCH_POOL_LOCK:
         if _FETCH_POOL is None:
             from concurrent.futures import ThreadPoolExecutor
-            # 6 workers: the masked record path runs 5 concurrent streams
-            # (3x tq + blk + rec); the tunnel aggregate saturates at >=4
-            _FETCH_POOL = ThreadPoolExecutor(6)
+            # 12 workers: the CHUNKED record path runs 10 concurrent
+            # streams (4x rec + 4x tqc + blk + flags). Each fetch pays a
+            # ~26 ms tunnel HANDSHAKE whether it is 40 KB or 400 —
+            # streams beyond the worker count queue into a second
+            # full-RTT round (probe_e2e_breakdown: recs landed 23 ms
+            # after flags on the old 6-worker pool). Workers block on
+            # socket I/O with the GIL released, so the count costs
+            # nothing on the 1-core hosts.
+            _FETCH_POOL = ThreadPoolExecutor(12)
     return _FETCH_POOL
 
 
@@ -1068,14 +1086,22 @@ def _extract_records(volume: jnp.ndarray, cell_ids: jnp.ndarray,
     verts+faces off the device's critical path (assemble_mesh_np oracle /
     native C fast path). Returns (rec u16 [S] = crossmask<<8 | insidemask,
     tq u8|u16 [S, D])."""
-    pair_i_np, pair_j_np, _, _ = _owned_tables()
-    D = len(pair_i_np)
-    R = volume.shape[0]
-    E = R
-    bad = jnp.asarray((CORNERS[pair_i_np] | CORNERS[pair_j_np]) > 0)
     words = _dense_record_words(volume, iso)
     S = n_iter * batch
     cids = jax.lax.slice_in_dim(cell_ids, 0, S)
+    return _records_from_words(words, cids, n_cells, volume.shape[0])
+
+
+def _records_from_words(words: list, cids: jnp.ndarray,
+                        n_cells: jnp.ndarray, R: int):
+    """(rec, tq) for the slots in `cids` given the dense packed words.
+    n_cells is RELATIVE to cids[0]'s global slot (callers of a chunk at
+    global slot `start` pass n_cells - start, like the sharded worker)."""
+    pair_i_np, pair_j_np, _, _ = _owned_tables()
+    D = len(pair_i_np)
+    E = R
+    S = cids.shape[0]
+    bad = jnp.asarray((CORNERS[pair_i_np] | CORNERS[pair_j_np]) > 0)
     rows = [jnp.take(w, cids) for w in words]
     if _tq_bits(R) == 8:
         r0, r1 = rows
@@ -1178,6 +1204,32 @@ def _compact_tq(rec: jnp.ndarray, tq: jnp.ndarray, nvcap: int
     return tqc, cs[-1]
 
 
+_REC_CHUNKS = 4  # fetch-overlap chunk count for the record stage
+
+
+def _chunk_bounds(n_iter: int, c: int = _REC_CHUNKS
+                  ) -> list[tuple[int, int]]:
+    """Split n_iter record batches into <= c near-equal contiguous chunks:
+    [(start_iter, n_iters), ...]. Slot ranges are start*batch-based."""
+    c = max(1, min(c, n_iter))
+    base, rem = divmod(n_iter, c)
+    out = []
+    s = 0
+    for k in range(c):
+        sz = base + (1 if k < rem else 0)
+        out.append((s, sz))
+        s += sz
+    return out
+
+
+def _chunk_nvs(rec: jnp.ndarray, n_iter: int, batch: int) -> list:
+    """Per-chunk crossing counts at the _chunk_bounds slot ranges (device
+    scalars) — seeds the NEXT image's per-chunk tqc bucket predictions."""
+    pc = jax.lax.population_count(rec.astype(jnp.int32) >> 8)
+    return [jnp.sum(jax.lax.slice_in_dim(pc, s * batch, (s + sz) * batch))
+            for s, sz in _chunk_bounds(n_iter)]
+
+
 @functools.partial(jax.jit, static_argnames=("iso", "n_iter", "batch"))
 def _records_masked_split(volume, cell_ids, n_cells, *, iso: float,
                           n_iter: int, batch: int, scalars=()):
@@ -1190,15 +1242,49 @@ def _records_masked_split(volume, cell_ids, n_cells, *, iso: float,
     embed in the returned flags vector — they then ride the record FETCH
     streams instead of a bare jax.device_get, whose ~25-40 ms round trip
     was the collect step's critical path. Returns
-    (rec, tq0, tq1, tq2, flags i32[len(scalars)+1]) with flags[-1] = nv."""
+    (rec, tq0, tq1, tq2, flags i32[len(scalars)+1+chunks]) with
+    flags[len(scalars)] = nv and flags[len(scalars)+1:] = the per-chunk
+    crossing counts at the _chunk_bounds ranges (they seed the chunked
+    compact path's tqc buckets for the next image)."""
     rec, tq = _extract_records(volume, cell_ids, n_cells, iso=iso,
                                n_iter=n_iter, batch=batch)
     S = n_iter * batch
     t0, t1 = S // 3, 2 * S // 3
     nv = _count_cross(rec)
+    nvk = _chunk_nvs(rec, n_iter, batch)
     flags = jnp.stack([jnp.asarray(s, jnp.int32).reshape(())
-                       for s in (*scalars, nv)])
+                       for s in (*scalars, nv, *nvk)])
     return rec, tq[:t0], tq[t0:t1], tq[t1:], flags
+
+
+@functools.partial(jax.jit, static_argnames=("iso",))
+def _dense_words_jit(volume, *, iso: float):
+    """Standalone dense packed-word build (see _dense_record_words) so the
+    chunked record path computes it ONCE and each chunk jit only gathers."""
+    return tuple(_dense_record_words(volume, iso))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("R", "start", "size", "nvcap"))
+def _records_chunk_compact(words, cell_ids, n_cells, *, R: int, start: int,
+                           size: int, nvcap: int):
+    """One slot-range chunk of the compact record stage: gather the packed
+    words for global slots [start, start+size), compact ITS crossing-edge
+    t params (vertex order is slot-major, so the concatenation of chunk
+    tqc[:nv_k] slices reproduces the global compact stream exactly).
+    Returns (rec_k u16 [size], tqc_k [nvcap], nv_k i32)."""
+    cids = jax.lax.slice_in_dim(cell_ids, start, start + size)
+    rec, tq = _records_from_words(list(words), cids,
+                                  jnp.maximum(n_cells - start, 0), R)
+    tqc, nv = _compact_tq(rec, tq, nvcap)
+    return rec, tqc, nv
+
+
+@jax.jit
+def _flags_stack(vals):
+    """Stack host/device scalars into one i32 flags vector (rides a fetch
+    stream; one tiny jit per distinct length)."""
+    return jnp.stack([jnp.asarray(v, jnp.int32).reshape(()) for v in vals])
 
 
 @functools.partial(jax.jit,
@@ -1465,12 +1551,31 @@ def records_start_fetch_compact(rec_d, tqc_d, blk_d):
     return [pool.submit(np.asarray, x) for x in parts]
 
 
+def _chunk_nv_np(rec_np: np.ndarray) -> int:
+    """Crossing count of one fetched rec chunk (the tqc_k[:nv_k] slice
+    length — self-derived, so assembly never waits on the flags stream)."""
+    return int(np.bitwise_count(rec_np >> np.uint16(8)).sum())
+
+
 def _records_parts(futs, mode: str):
     """(blk future, recs join, tq join) for a fetch-future list in the
-    masked ([tq0,tq1,tq2,blk,rec]) or compact ([tqc0,tqc1,rec0,rec1,blk])
-    stream layout. The joins are lazy closures so the faces pass (which
-    needs only blk+recs, the smallest streams) can overlap the in-flight
-    tq tail on multi-core hosts."""
+    masked ([tq0,tq1,tq2,blk,rec]), compact ([tqc0,tqc1,rec0,rec1,blk]),
+    or cchunk ([blk, rec_0..C-1, tqc_0..C-1, flags]) stream layout. The
+    joins are lazy closures so the faces pass (which needs only blk+recs,
+    the smallest streams) can overlap the in-flight tq tail on multi-core
+    hosts. For cchunk the tq join concatenates each chunk's tqc sliced to
+    ITS crossing count (popcount of the chunk's recs) — vertex order is
+    slot-major, so the result is byte-identical to the global compact
+    stream."""
+    if mode == "cchunk":
+        c = (len(futs) - 2) // 2
+        rec_fs = futs[1:1 + c]
+        tq_fs = futs[1 + c:1 + 2 * c]
+        return (futs[0],
+                lambda: np.concatenate([f.result() for f in rec_fs]),
+                lambda: np.concatenate(
+                    [tf.result()[:_chunk_nv_np(rf.result())]
+                     for rf, tf in zip(rec_fs, tq_fs)]))
     if mode == "compact":
         return (futs[4],
                 lambda: np.concatenate([futs[2].result(), futs[3].result()]),
@@ -1491,7 +1596,7 @@ def _assemble_from_records(blk_np, recs, tq_join, n_cells: int,
         raise RuntimeError(
             f"block masks encode {n} cells, scan counted "
             f"{n_cells} (corrupt record stream)")
-    compact = mode == "compact"
+    compact = mode in ("compact", "cchunk")
     sdf_f = np.asarray(sdf_params, np.float32)
     try:
         from disn_tpu import native
@@ -1537,6 +1642,12 @@ def records_finish_compact(futs, sdf_params, n_cells: int, nv: int, R: int):
     return _records_finish(futs, sdf_params, n_cells, nv, R, "compact")
 
 
+def records_finish_cchunk(futs, sdf_params, n_cells: int, nv: int, R: int):
+    """Chunked-compact finish (caller validated every chunk nv_k <= its
+    nvcap_k; futs layout [blk, rec_0.., tqc_0.., flags])."""
+    return _records_finish(futs, sdf_params, n_cells, nv, R, "cchunk")
+
+
 def records_finish_masked(futs, sdf_params, n_cells: int, R: int):
     """Masked-stream finish (slot-dense [n_cells, D] tq)."""
     return _records_finish(futs, sdf_params, n_cells, None, R, "masked")
@@ -1570,9 +1681,10 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
     count — so the mesh is built CONCURRENTLY with the scalar sync, whose
     result afterwards only accepts or discards it.
 
-    mode: 'masked' (futs from records_start_fetch_masked) or 'compact'
-    (records_start_fetch_compact). Self-checks that would corrupt the
-    mesh (record slots under-covering the scan, compact-tq vertex-cap
+    mode: 'masked' (futs from records_start_fetch_masked), 'compact'
+    (records_start_fetch_compact), or 'cchunk' (chunked compact layout;
+    nvcap is then the per-chunk cap TUPLE). Self-checks that would corrupt
+    the mesh (record slots under-covering the scan, compact-tq vertex-cap
     overflow) return None — the caller then re-runs the exact path.
 
     Returns (future -> (verts, faces, n_cells, nv) | None, cancel_event);
@@ -1600,10 +1712,16 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
         nv = int(np.bitwise_count(recs[:n] >> np.uint32(8)).sum())
         if mode == "compact" and nvcap is not None and nv > nvcap:
             return None    # tq stream truncated (mode='drop' scatter)
+        if mode == "cchunk":
+            c = (len(futs) - 2) // 2
+            for k, rf in enumerate(futs[1:1 + c]):
+                if _chunk_nv_np(rf.result()) > nvcap[k]:
+                    return None  # that chunk's tqc stream is truncated
         if cancel.is_set():
             return None
         verts, faces = _assemble_from_records(
-            blk_np, recs, tq_join, n, nv if mode == "compact" else None,
+            blk_np, recs, tq_join, n,
+            nv if mode in ("compact", "cchunk") else None,
             R, sdf_f, mode)
         return verts, faces, n, nv
 

@@ -379,29 +379,41 @@ def test_spec_cache_hysteresis():
     key = object()
     pipeline._SPEC_CACHE.pop(key, None)
     pipeline._update_pred(key, 8, 4, 100)
-    assert pipeline._SPEC_CACHE[key] == (8, 4, 100, 0)
+    assert pipeline._SPEC_CACHE[key] == (8, 4, 100, 0, None)
     # bigger image: ratchet up instantly
     pipeline._update_pred(key, 16, 8, 200)
-    assert pipeline._SPEC_CACHE[key] == (16, 8, 200, 0)
+    assert pipeline._SPEC_CACHE[key] == (16, 8, 200, 0, None)
     # smaller images: hold the larger prediction, count the streak
     for i in range(pipeline._SHRINK_STREAK - 1):
         pipeline._update_pred(key, 8, 4, 100)
-        assert pipeline._SPEC_CACHE[key] == (16, 8, 200, i + 1)
+        assert pipeline._SPEC_CACHE[key] == (16, 8, 200, i + 1, None)
     # streak reached: shrink to the exact need
     pipeline._update_pred(key, 8, 4, 100)
-    assert pipeline._SPEC_CACHE[key] == (8, 4, 100, 0)
+    assert pipeline._SPEC_CACHE[key] == (8, 4, 100, 0, None)
+    # per-chunk nv predictions ratchet elementwise at matching bounds and
+    # reset on a bounds change (chunk counts at other bounds are garbage)
+    pipeline._update_pred(key, 8, 4, 100, (4, 1024, (10, 40, 30, 5)))
+    assert pipeline._SPEC_CACHE[key][4] == (4, 1024, (10, 40, 30, 5))
+    pipeline._update_pred(key, 8, 4, 100, (4, 1024, (20, 15, 35, 6)))
+    assert pipeline._SPEC_CACHE[key][4] == (4, 1024, (20, 40, 35, 6))
+    assert pipeline._SPEC_CACHE[key][3] == 1  # held-up counts = a streak
+    pipeline._update_pred(key, 8, 4, 100, (8, 1024, (1, 2, 3, 4)))
+    assert pipeline._SPEC_CACHE[key][4] == (8, 1024, (1, 2, 3, 4))
     # an uncovered image (nv unknown) downgrades the nv prediction so the
     # next image re-learns it on the masked stream
     pipeline._update_pred(key, 8, 4, None)
     assert pipeline._SPEC_CACHE[key][2] is None
+    assert pipeline._SPEC_CACHE[key][4] is None
     pipeline._SPEC_CACHE.pop(key, None)
 
 
 def test_speculative_ladder_reaches_compact_mode():
     """Consecutive same-config images climb the speculation ladder:
     image 1 seeds the bucket cache (sequential), image 2 runs the masked
-    predicted path and learns nv, image 3+ runs the COMPACT path (crossing-
-    only tq stream). Every rung must produce the identical welded mesh."""
+    predicted path and learns nv + the per-chunk crossing counts, image 3+
+    runs the CHUNKED COMPACT path (crossing-only tq, slot-range chunks
+    whose fetches overlap later chunks' compute). Every rung must produce
+    the identical welded mesh."""
     import numpy as np
     from disn_tpu.data import synthetic
     from disn_tpu.infer import pipeline
@@ -432,8 +444,8 @@ def test_speculative_ladder_reaches_compact_mode():
         meshes.append(out)
     assert modes[0] is None          # sequential seed
     assert modes[1] == "masked"      # bucket prediction, nv unknown
-    assert modes[2] == "compact"     # nv predicted: crossing-only tq
-    assert modes[3] == "compact"
+    assert modes[2] == "cchunk"      # chunk nvs predicted: chunked compact
+    assert modes[3] == "cchunk"
     for v, f in meshes[1:]:
         np.testing.assert_array_equal(f, meshes[0][1])
         np.testing.assert_allclose(v, meshes[0][0], atol=2e-5)

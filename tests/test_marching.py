@@ -322,6 +322,84 @@ def test_masked_records_path_matches_owned(cores, monkeypatch):
     np.testing.assert_allclose(ov_, av, atol=2e-7)
 
 
+def test_records_cchunk_matches_masked():
+    """The CHUNKED compact record stage (slot-range chunk jits whose
+    fetches overlap later chunks' device compute) reproduces the masked
+    path's mesh exactly: concatenated rec chunks == the global rec stream,
+    and each chunk's tqc[:nv_k] slices concatenate to the global compact
+    tq (vertex order is slot-major). Also checks the per-chunk nv seeds in
+    the masked flags vector and the chunked speculative self-checks."""
+    import jax.numpy as jnp
+    from disn_tpu.infer import sparse as sparse_mod
+
+    vol = sphere_volume(R=33, r=0.6)
+    R = vol.shape[0]
+    stride = 4
+    coarse = jnp.asarray(vol[::stride, ::stride, ::stride])
+    rc = coarse.shape[0]
+    span = PARAMS[3:6] - PARAMS[0:3]
+    tau = 1.5 * np.sqrt(np.sum((span / (rc - 1)) ** 2))
+    cell_ids, count = sparse_mod._active_cells(coarse, jnp.float32(tau), 512)
+    ids, ncd, ov, blk = marching._active_cells_from_coarse(
+        jnp.asarray(vol), cell_ids, count, iso=0.0, stride=stride, bcap=768)
+    nc = int(ncd)
+    n_iter, batch = marching.records_n_iter(int(ids.shape[0]), nc, 512)
+
+    # masked reference + the per-chunk nv seeds its flags now carry
+    rec_d, tq0, tq1, tq2, flags_d = marching._records_masked_split(
+        jnp.asarray(vol), ids, ncd, iso=0.0, n_iter=n_iter, batch=batch,
+        scalars=(ncd,))
+    mfuts = marching.records_start_fetch_masked(
+        rec_d, jnp.concatenate([tq0, tq1, tq2]), blk)
+    ev, ef = marching.records_finish_masked(mfuts, PARAMS, nc, R)()
+    flags = [int(x) for x in np.asarray(flags_d)]
+    nv = int(marching._count_cross(rec_d))
+    bounds = marching._chunk_bounds(n_iter)
+    assert flags[0] == nc and flags[1] == nv
+    nvk_seed = flags[2:]
+    assert len(nvk_seed) == len(bounds) and sum(nvk_seed) == nv
+
+    # chunked compact stage at the seeded per-chunk buckets
+    words = marching._dense_words_jit(jnp.asarray(vol), iso=0.0)
+    nvcaps = tuple(marching._qbucket(max(4, int(k * 1.25)))
+                   for k in nvk_seed)
+    parts = [blk]
+    nv_ds = []
+    for k, (s, sz) in enumerate(bounds):
+        rec_k, tqc_k, nv_k = marching._records_chunk_compact(
+            words, ids, ncd, R=R, start=s * batch, size=sz * batch,
+            nvcap=nvcaps[k])
+        parts += [rec_k, tqc_k]
+        nv_ds.append(nv_k)
+    flags2 = marching._flags_stack([ncd, *nv_ds])
+    parts.append(flags2)
+    subs = marching.records_submit(parts)
+    C = len(bounds)
+    futs = ([subs[0]] + [subs[1 + 2 * k] for k in range(C)]
+            + [subs[2 + 2 * k] for k in range(C)] + [subs[-1]])
+    nvks = [int(x) for x in np.asarray(flags2)][1:]
+    assert nvks == nvk_seed
+    cv, cf = marching.records_finish_cchunk(futs, PARAMS, nc, nv, R)()
+    np.testing.assert_array_equal(cf, ef)
+    np.testing.assert_array_equal(cv, ev)
+
+    # concatenated rec chunks == the global slot-dense rec stream
+    rec_cat = np.concatenate([f.result() for f in futs[1:1 + C]])
+    np.testing.assert_array_equal(rec_cat, np.asarray(rec_d))
+
+    # chunked speculative: happy path, then a chunk-cap overflow bail
+    fut, cancel = marching.records_assemble_speculative(
+        futs, PARAMS, R, "cchunk", nvcaps)
+    verts, faces, n_o, nv_o = fut.result()
+    assert (n_o, nv_o) == (nc, nv)
+    np.testing.assert_array_equal(faces, ef)
+    np.testing.assert_array_equal(verts, ev)
+    bad_caps = tuple(max(0, k - 1) for k in nvk_seed)
+    fut, cancel = marching.records_assemble_speculative(
+        futs, PARAMS, R, "cchunk", bad_caps)
+    assert fut.result() is None
+
+
 def test_speculative_assembly_self_checks():
     """records_assemble_speculative derives n_cells/nv from the fetched
     buffers, matches the exact finish paths on the happy path, and bails
