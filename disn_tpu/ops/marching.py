@@ -1696,12 +1696,21 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
     blk_f, recs_join, tq_join = _records_parts(futs, mode)
 
     def work():
-        # join-all-first, even with spare cores: the C passes vs the
-        # in-flight fetch threads measured 11 -> 130-370 ms under
-        # single-core contention, and the whole point here is to run
-        # AFTER the bytes land, during the scalar RTT
-        for f in futs:
-            f.result()
+        # join-all-first for masked/compact, even with spare cores: the C
+        # passes vs the in-flight fetch threads measured 11 -> 130-370 ms
+        # under single-core contention (3 x ~200 KB tq streams in flight).
+        # The CHUNKED layout's tqc chunks are ~40-60 KB each and land
+        # within a few ms of blk+recs, so there the faces pass (which
+        # never touches tq) overlaps the tiny tqc tail: _assemble_from_
+        # records defers tq_join until after faces (probe_e2e_breakdown:
+        # 'rest' 11.5 -> faces runs during the last chunks' flight)
+        if mode == "cchunk":
+            c = (len(futs) - 2) // 2
+            for f in (futs[0], *futs[1:1 + c]):
+                f.result()
+        else:
+            for f in futs:
+                f.result()
         if cancel.is_set():
             return None
         blk_np = blk_f.result()
