@@ -26,13 +26,19 @@ F_THRESHOLDS = (0.5, 1.0, 2.0, 5.0, 10.0, 20.0)  # percent (test_f_score:291)
 SIDE_LEN = 2.5                                    # truethreshold (:41)
 
 
-def _mesh_points(path: str, n: int, rng: np.random.RandomState,
-                 protocol: str = "vertices") -> np.ndarray | None:
+def _load_mesh(path: str) -> tuple[np.ndarray, np.ndarray] | None:
     if not os.path.exists(path):
         return None
     verts, faces = codecs.read_obj(path)
     if len(verts) == 0:
         return None
+    return verts, faces
+
+
+def _mesh_points(mesh: tuple[np.ndarray, np.ndarray], n: int,
+                 rng: np.random.RandomState,
+                 protocol: str = "vertices") -> np.ndarray:
+    verts, faces = mesh
     if protocol == "surface" and len(faces):
         return metrics.sample_mesh_surface(verts, faces, n, rng)
     return metrics.sample_mesh_vertices(verts, n, rng)
@@ -42,18 +48,32 @@ def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
                     which: set[str], dim: int, seed: int = 0,
                     protocol: str = "vertices",
                     device_iou: bool = False) -> dict | None:
+    """One object's metrics. Meshes are parsed ONCE and shared by the
+    point metrics and IoU, and the GT occupancy grid is voxelized ONCE per
+    object (the per-view loop previously re-read every mesh and re-voxelized
+    the GT 24x — measured 9.5 s/object of the 10.5 s full-protocol cost at
+    production mesh sizes, scripts/eval_rehearsal.py round 4).
+
+    device_iou routes voxelization through the TPU — only sensible from a
+    SINGLE caller thread on a co-located device: through the tunnel from
+    the evaluator's 8-thread pool it measured 10x SLOWER than host
+    voxelization (784 vs 76 s / 8 objects — the round-2 'worker threads
+    contend on the tunnel' farm finding applies to eval too)."""
     import jax.numpy as jnp
     rng = np.random.RandomState(seed)
-    gt_pts = _mesh_points(gt_mesh, num_points, rng, protocol)
-    if gt_pts is None:
+    gt = _load_mesh(gt_mesh)
+    if gt is None:
         return None
+    gt_pts = _mesh_points(gt, num_points, rng, protocol)
     preds = []
     pred_paths = []
+    pred_meshes_np = []
     for p in pred_meshes:
-        pts = _mesh_points(p, num_points, rng, protocol)
-        if pts is not None:
-            preds.append(pts)
+        mesh = _load_mesh(p)
+        if mesh is not None:
+            preds.append(_mesh_points(mesh, num_points, rng, protocol))
             pred_paths.append(p)
+            pred_meshes_np.append(mesh if "iou" in which else None)
     if not preds:
         return None
     pred_arr = jnp.asarray(np.stack(preds))
@@ -77,12 +97,16 @@ def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
         out["f_precision"] = np.asarray(fs["precision"]).mean(axis=1).tolist()
         out["f_recall"] = np.asarray(fs["recall"]).mean(axis=1).tolist()
     if "iou" in which:
-        gt = codecs.read_obj(gt_mesh)
-        iou_fn = voxelize.iou_meshes_device if device_iou \
-            else voxelize.iou_meshes
+        occ_fn = (voxelize.occupancy_device if device_iou
+                  else voxelize.voxelize_surface)
+        o_gt = occ_fn(*gt, dim=dim)
         ious = []
-        for p in pred_paths:
-            ious.append(iou_fn(gt, codecs.read_obj(p), dim=dim))
+        for mesh in pred_meshes_np:
+            o_p = occ_fn(*mesh, dim=dim)
+            union = np.logical_or(o_gt, o_p).sum()
+            ious.append(0.0 if union == 0
+                        else float(np.logical_and(o_gt, o_p).sum())
+                        / float(union))
         out["iou_avg"] = float(np.mean(ious))
         out["iou_best"] = float(np.max(ious))
     return out

@@ -91,7 +91,14 @@ def build_tree(n_objs: int, view_num: int) -> tuple[str, str, str]:
 def main() -> None:
     n_objs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     view_num = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    pred_dir, gt_dir, lst_dir = build_tree(n_objs, view_num)
+    if "reuse" in sys.argv and os.path.isdir(os.path.join(ROOT, "pred")):
+        pred_dir = os.path.join(ROOT, "pred")
+        gt_dir = os.path.join(ROOT, "gt")
+        lst_dir = os.path.join(ROOT, "lists")
+        shutil.rmtree(os.path.join(ROOT, "cache"), ignore_errors=True)
+        print("reusing existing tree", flush=True)
+    else:
+        pred_dir, gt_dir, lst_dir = build_tree(n_objs, view_num)
 
     from disn_tpu.eval import runner
 
