@@ -44,22 +44,21 @@ def _mesh_points(mesh: tuple[np.ndarray, np.ndarray], n: int,
     return metrics.sample_mesh_vertices(verts, n, rng)
 
 
-def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
-                    which: set[str], dim: int, seed: int = 0,
-                    protocol: str = "vertices",
-                    device_iou: bool = False) -> dict | None:
-    """One object's metrics. Meshes are parsed ONCE and shared by the
-    point metrics and IoU, and the GT occupancy grid is voxelized ONCE per
-    object (the per-view loop previously re-read every mesh and re-voxelized
-    the GT 24x — measured 9.5 s/object of the 10.5 s full-protocol cost at
-    production mesh sizes, scripts/eval_rehearsal.py round 4).
-
-    device_iou routes voxelization through the TPU — only sensible from a
-    SINGLE caller thread on a co-located device: through the tunnel from
-    the evaluator's 8-thread pool it measured 10x SLOWER than host
-    voxelization (784 vs 76 s / 8 objects — the round-2 'worker threads
-    contend on the tunnel' farm finding applies to eval too)."""
-    import jax.numpy as jnp
+def _object_host(gt_mesh: str, pred_meshes: list[str], num_points: int,
+                 which: set[str], dim: int, seed: int = 0,
+                 protocol: str = "vertices",
+                 device_iou: bool = False) -> tuple | None:
+    """HOST half of one object's metrics (runs on evaluator pool workers):
+    parse each mesh ONCE, sample the point clouds, and compute IoU with
+    the GT occupancy grid voxelized ONCE per object (the old per-view loop
+    re-read every mesh and re-voxelized the GT 24x — measured 9.5 s of the
+    10.5 s full-protocol object cost at production mesh sizes,
+    scripts/eval_rehearsal.py round 4). NO device work happens here: device
+    traffic from pool worker threads contends on the (possibly tunneled)
+    device link — device-voxel IoU from the 8-thread pool measured 10x
+    SLOWER than host voxelization (784 vs 76 s / 8 objects), the round-2
+    farm finding applied to eval. Returns (pred_pts [V,n,3], gt_pts [n,3],
+    pred_paths, partial-out dict) or None."""
     rng = np.random.RandomState(seed)
     gt = _load_mesh(gt_mesh)
     if gt is None:
@@ -76,10 +75,30 @@ def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
             pred_meshes_np.append(mesh if "iou" in which else None)
     if not preds:
         return None
-    pred_arr = jnp.asarray(np.stack(preds))
-    gt_arr = jnp.asarray(np.broadcast_to(gt_pts, pred_arr.shape))
-
     out: dict = {"views": len(preds)}
+    if "iou" in which:
+        occ_fn = (voxelize.occupancy_device if device_iou
+                  else voxelize.voxelize_surface)
+        o_gt = occ_fn(*gt, dim=dim)
+        ious = []
+        for mesh in pred_meshes_np:
+            o_p = occ_fn(*mesh, dim=dim)
+            union = np.logical_or(o_gt, o_p).sum()
+            ious.append(0.0 if union == 0
+                        else float(np.logical_and(o_gt, o_p).sum())
+                        / float(union))
+        out["iou_avg"] = float(np.mean(ious))
+        out["iou_best"] = float(np.max(ious))
+    return np.stack(preds), gt_pts, pred_paths, out
+
+
+def _object_device(host: tuple, which: set[str]) -> dict:
+    """DEVICE half (chamfer/EMD/F-score on the stacked view batch) —
+    called from ONE thread only; see _object_host."""
+    import jax.numpy as jnp
+    preds_np, gt_pts, pred_paths, out = host
+    pred_arr = jnp.asarray(preds_np)
+    gt_arr = jnp.asarray(np.broadcast_to(gt_pts, pred_arr.shape))
     if "cd" in which or "emd" in which:
         ce = metrics.chamfer_emd(pred_arr, gt_arr)
         cd = np.asarray(ce["cd"])
@@ -96,20 +115,20 @@ def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
         # (test_f_score.py:176-181) — not a mean of per-object F1s
         out["f_precision"] = np.asarray(fs["precision"]).mean(axis=1).tolist()
         out["f_recall"] = np.asarray(fs["recall"]).mean(axis=1).tolist()
-    if "iou" in which:
-        occ_fn = (voxelize.occupancy_device if device_iou
-                  else voxelize.voxelize_surface)
-        o_gt = occ_fn(*gt, dim=dim)
-        ious = []
-        for mesh in pred_meshes_np:
-            o_p = occ_fn(*mesh, dim=dim)
-            union = np.logical_or(o_gt, o_p).sum()
-            ious.append(0.0 if union == 0
-                        else float(np.logical_and(o_gt, o_p).sum())
-                        / float(union))
-        out["iou_avg"] = float(np.mean(ious))
-        out["iou_best"] = float(np.max(ious))
     return out
+
+
+def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
+                    which: set[str], dim: int, seed: int = 0,
+                    protocol: str = "vertices",
+                    device_iou: bool = False) -> dict | None:
+    """One object's full metric dict (host + device halves; see
+    _object_host/_object_device for the split rationale)."""
+    host = _object_host(gt_mesh, pred_meshes, num_points, which, dim,
+                        seed=seed, protocol=protocol, device_iou=device_iou)
+    if host is None:
+        return None
+    return _object_device(host, which)
 
 
 def _cache_key(num_points: int, which: set[str], dim: int, protocol: str,
@@ -169,7 +188,11 @@ def evaluate_tree(pred_dir: str, gt_dir: str, lst_dir: str,
                      for v in range(view_num)]
             jobs.append((obj, gt_mesh, preds))
 
-        def run_one(j: tuple) -> dict | None:
+        def host_one(j: tuple):
+            """Pool-worker half: cache lookup + all HOST work (parse,
+            sample, voxelize). Device metrics run on the caller's thread
+            only — device traffic from worker threads contends on the
+            (possibly tunneled) link (see _object_host)."""
             obj, gt_mesh, preds = j
             key = _cache_key(num_points, which, dim, protocol, len(preds))
             cpath = (os.path.join(cache_dir, cat, obj + ".json")
@@ -177,17 +200,24 @@ def evaluate_tree(pred_dir: str, gt_dir: str, lst_dir: str,
             if cpath is not None:
                 hit = _cache_load(cpath, key)
                 if hit is not None:
-                    return hit
-            r = evaluate_object(gt_mesh, preds, num_points, which, dim,
+                    return ("hit", hit, cpath, key)
+            host = _object_host(gt_mesh, preds, num_points, which, dim,
                                 protocol=protocol, device_iou=device_iou)
-            if r is not None and cpath is not None:
-                _cache_store(cpath, key, r)
-            return r
+            return ("miss", host, cpath, key)
 
         with ThreadPoolExecutor(workers) as pool:
-            for r in pool.map(run_one, jobs):
-                if r is not None:
-                    per_obj.append(r)
+            # pool.map prefetches host halves while the main thread owns
+            # the strictly-sequential device metric calls
+            for tag, payload, cpath, key in pool.map(host_one, jobs):
+                if tag == "hit":
+                    per_obj.append(payload)
+                    continue
+                if payload is None:
+                    continue
+                r = _object_device(payload, which)
+                if cpath is not None:
+                    _cache_store(cpath, key, r)
+                per_obj.append(r)
         if not per_obj:
             continue
         summary = {"objects": len(per_obj)}

@@ -115,11 +115,15 @@ def main() -> None:
               f"(1311-obj split ~ {full / 60:.0f} min)", flush=True)
         return res, dt
 
-    # metric-by-metric breakdown, then the full protocol
+    # metric-by-metric breakdown, then the full protocol. The device-voxel
+    # arm is OFF by default: through the tunnel from the evaluator's
+    # 8-thread pool it measured 10x SLOWER than host voxelization (784 vs
+    # 76 s / 8 objs, round 4) — pass 'device-iou' to re-measure.
     timed("cd+emd            ", {"cd", "emd"})
     timed("fscore            ", {"fscore"})
     timed("iou (host voxel)  ", {"iou"})
-    timed("iou (device voxel)", {"iou"}, device_iou=True)
+    if "device-iou" in sys.argv:
+        timed("iou (device voxel)", {"iou"}, device_iou=True)
     res, dt = timed("FULL cd,emd,fscore,iou", {"cd", "emd", "fscore", "iou"})
     ov = res["overall"]
     print(f"overall: cd_avg={ov.get('cd_avg'):.4f} "

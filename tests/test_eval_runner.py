@@ -76,13 +76,13 @@ def test_cache_resume_skips_finished_objects(tmp_path, monkeypatch):
     pred_dir, gt_dir, lst_dir = _make_tree(str(tmp_path), CATS)
     cache = str(tmp_path / "cache")
     calls = []
-    real = runner.evaluate_object
+    real = runner._object_host  # the cache-miss work lives in the host half
 
     def counting(*a, **kw):
         calls.append(1)
         return real(*a, **kw)
 
-    monkeypatch.setattr(runner, "evaluate_object", counting)
+    monkeypatch.setattr(runner, "_object_host", counting)
     kw = dict(view_num=1, metrics=["cd", "fscore"], num_points=64,
               workers=1, cache_dir=cache)
     res1 = runner.evaluate_tree(pred_dir, gt_dir, lst_dir, **kw)
