@@ -228,7 +228,16 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         _, _, _, _, count, esc_a = ctx["pa"]
         scalars = (count, esc_a, esc_b, ncd, gov_d)
         if (nv_p is not None and cfg.compact_tq and nvc_p is not None
-                and nvc_p[:2] == (ni_p, batch_p)):
+                and nvc_p[:2] == (ni_p, batch_p) and optimistic):
+            # CHUNKED COMPACT only for latency callers (optimistic=True,
+            # i.e. single-image): its extra per-image host CPU (5 more jit
+            # dispatches + 7 more fetch submissions + chunk joins, ~+16 ms
+            # on the 1-core farm host) blows the farm's thin CPU budget —
+            # farm A/B measured masked 68.6 vs cchunk 122 ms/img while
+            # single-image measured cchunk ~114 vs ~125 ms bench
+            # (probe_farm_breakdown / probe_e2e_breakdown, round 4b). The
+            # farm (optimistic=False) is device-bound and byte-insensitive,
+            # so it takes the CPU-cheapest masked stream below.
             # per-chunk vertex counts predicted too: CHUNKED compact record
             # stage — each slot-range chunk is its own jit emitting
             # (rec_k, crossing-only tqc_k), so the earliest chunks' fetch
@@ -250,14 +259,15 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                 parts += [rec_k, tqc_k]
                 nv_ds.append(nv_k)
             flags_d = marching_mod._flags_stack([*scalars, *nv_ds])
-            parts.append(flags_d)
-            subs = marching_mod.records_submit(parts)
+            # flags submitted FIRST: a fetch only proceeds once its buffer
+            # is computed, so submission order is free — but if the pool
+            # ever saturates, flags (the collect step's critical wait)
+            # must not be the one queuing behind a full worker set
+            subs = marching_mod.records_submit([flags_d, *parts])
             C = len(bounds)
-            # futs layout [blk, rec_0.., tqc_0.., flags]; submission was
-            # readiness order (chunk-interleaved) so early bytes stream
-            # while later chunks compute
-            futs = ([subs[0]] + [subs[1 + 2 * k] for k in range(C)]
-                    + [subs[2 + 2 * k] for k in range(C)] + [subs[-1]])
+            # futs layout [blk, rec_0.., tqc_0.., flags]
+            futs = ([subs[1]] + [subs[2 + 2 * k] for k in range(C)]
+                    + [subs[3 + 2 * k] for k in range(C)] + [subs[0]])
             ctx.update(mode="cchunk", nvcap=nvcaps)
         else:
             rec_d, tq0, tq1, tq2, flags_d = \

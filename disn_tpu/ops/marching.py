@@ -945,14 +945,15 @@ def _get_fetch_pool():
     with _FETCH_POOL_LOCK:
         if _FETCH_POOL is None:
             from concurrent.futures import ThreadPoolExecutor
-            # 12 workers: the CHUNKED record path runs 10 concurrent
-            # streams (4x rec + 4x tqc + blk + flags). Each fetch pays a
-            # ~26 ms tunnel HANDSHAKE whether it is 40 KB or 400 —
-            # streams beyond the worker count queue into a second
-            # full-RTT round (probe_e2e_breakdown: recs landed 23 ms
-            # after flags on the old 6-worker pool). Workers block on
-            # socket I/O with the GIL released, so the count costs
-            # nothing on the 1-core hosts.
+            # 12 workers: every in-flight fetch should own a worker. Each
+            # fetch pays a ~26 ms tunnel HANDSHAKE whether it is 40 KB or
+            # 400, and a stream that has to WAIT for a worker queues into
+            # a second full-RTT round (probe_e2e_breakdown: recs landed
+            # 23 ms after flags on the old 6-worker pool). Sized for the
+            # chunked single-image layout (11 streams) and the masked
+            # farm at depth 2 (6 x 2); MORE measured worse — a 36-worker
+            # pool cost +36 ms/img of pure thread churn on the 1-core
+            # farm host (probe_farm_breakdown round 4b).
             _FETCH_POOL = ThreadPoolExecutor(12)
     return _FETCH_POOL
 

@@ -35,6 +35,9 @@ def main() -> None:
            if on_tpu else
            Config(sdf_res=32, compute_dtype="float32", num_classes=64,
                   width_mult=0.125, view_num=views))
+    if "masked" in sys.argv:  # A/B: force the masked record stream
+        cfg = cfg.replace(compact_tq=False)
+        print("A/B arm: compact_tq=False (masked records)", flush=True)
     params = synthetic.analytic_octahedron_params(cfg, r=0.6)
     io_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="farm_probe_ds_", dir=io_root)
