@@ -267,12 +267,32 @@ def cmd_train_cam(args) -> None:
     logger.close()
 
 
-def _cam_batches(args, cfg):
+def _cam_batches(args, cfg, readers=None, window: int = 64):
+    """Yield ((cat,obj,view), ViewRecord) over the split; with a reader
+    pool, h5 reads (gzip decompress — the host CPU cost) prefetch in a
+    bounded sliding window ahead of the consumer."""
+    from collections import deque
+
     from disn_tpu.core import codecs
     listinfo, _, paths = data_handles(cfg, args.data_root, args.split)
-    for cat_id, obj, view in listinfo:
-        rec = codecs.read_view_h5(paths.img_path(cat_id, obj, view))
-        yield (cat_id, obj, view), rec, paths
+    if readers is None:
+        for cat_id, obj, view in listinfo:
+            rec = codecs.read_view_h5(paths.img_path(cat_id, obj, view))
+            yield (cat_id, obj, view), rec
+        return
+    pending: deque = deque()
+    it = iter(listinfo)
+    while True:
+        while len(pending) < window:
+            key = next(it, None)
+            if key is None:
+                break
+            pending.append((key, readers.submit(
+                codecs.read_view_h5, paths.img_path(*key))))
+        if not pending:
+            return
+        key, fut = pending.popleft()
+        yield key, fut.result()
 
 
 def _cam_eval(args, cfg, params, logger) -> None:
@@ -329,27 +349,75 @@ def _cam_eval(args, cfg, params, logger) -> None:
                f"min 3d dist {d3.min():.6f}")
 
 
-def _cam_create_h5(args, cfg, params, logger) -> None:
+def _cam_create_h5(args, cfg, params, logger, batch: int = 64) -> None:
     """--create: rewrite the view-h5 tree with predicted trans_mat
-    (train_sdf_cam.py:568-612) -> renders_camest/."""
+    (train_sdf_cam.py:568-612) -> renders_camest/.
+
+    BATCHED (round 5): the old per-view jitted forward paid one ~26 ms
+    tunnel sync per view — a full 13-class split (~409k views) was ~3 h
+    of pure RTT. Views now ride ONE jitted B=64 forward (the reference is
+    also per-view, but co-located); h5 reads prefetch on a reader pool,
+    h5 writes (gzip — the real CPU cost) land on a writer pool, and a
+    depth-2 in-flight window overlaps fetch(k) with compute(k+1). The
+    final partial batch pads to B so there is exactly one compile."""
     import jax
     import jax.numpy as jnp
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     from disn_tpu.core import codecs
     from disn_tpu.models import posenet
 
-    apply_fn = jax.jit(lambda p, img: posenet.apply(p, img, cfg))
+    apply_fn = jax.jit(
+        lambda p, img: posenet.apply(p, img, cfg)["pred_trans_mat"])
     out_root = os.path.join(args.data_root, "renders_camest")
     n = 0
-    for (cat_id, obj, view), rec, paths in _cam_batches(args, cfg):
-        img = rec.img_arr[:, :, :3].astype(np.float32)[None] / 255.0
-        out = apply_fn(params, jnp.asarray(img))
-        pred = np.asarray(out["pred_trans_mat"])[0].astype(np.float32)
-        new_rec = codecs.ViewRecord(
-            img_arr=rec.img_arr, trans_mat=pred, K=rec.K, RT=rec.RT,
-            obj_rot_mat=rec.obj_rot_mat, regress_mat=rec.regress_mat)
-        codecs.write_view_h5(
-            os.path.join(out_root, cat_id, obj, f"{view:02d}.h5"), new_rec)
-        n += 1
+
+    def flush(entry) -> list:
+        preds_d, metas, recs = entry
+        preds = np.asarray(preds_d).astype(np.float32)
+        futs = []
+        for (cat_id, obj, view), rec, pred in zip(metas, recs, preds):
+            new_rec = codecs.ViewRecord(
+                img_arr=rec.img_arr, trans_mat=pred, K=rec.K, RT=rec.RT,
+                obj_rot_mat=rec.obj_rot_mat, regress_mat=rec.regress_mat)
+            futs.append(writers.submit(
+                codecs.write_view_h5,
+                os.path.join(out_root, cat_id, obj, f"{view:02d}.h5"),
+                new_rec))
+        return futs
+
+    inflight: deque = deque()
+    write_futs: list = []
+    with ThreadPoolExecutor(2) as writers, \
+            ThreadPoolExecutor(2) as readers:
+        metas, recs, imgs = [], [], []
+
+        def dispatch():
+            nonlocal metas, recs, imgs
+            bimgs = imgs
+            if len(bimgs) < batch:  # pad to the compiled shape
+                bimgs = bimgs + [bimgs[-1]] * (batch - len(bimgs))
+            preds_d = apply_fn(params, jnp.asarray(np.stack(bimgs)))
+            inflight.append((preds_d, metas, recs))
+            metas, recs, imgs = [], [], []
+            if len(inflight) > 2:
+                write_futs.extend(flush(inflight.popleft()))
+
+        for meta, rec in _cam_batches(args, cfg, readers=readers,
+                                      window=2 * batch):
+            metas.append(meta)
+            recs.append(rec)
+            imgs.append(rec.img_arr[:, :, :3].astype(np.float32) / 255.0)
+            n += 1
+            if len(imgs) == batch:
+                dispatch()
+        if imgs:
+            dispatch()
+        while inflight:
+            write_futs.extend(flush(inflight.popleft()))
+        for f in write_futs:
+            f.result()
     logger.log(f"wrote {n} estimated-camera view h5s to {out_root}")
 
 

@@ -77,26 +77,41 @@ def _object_host(gt_mesh: str, pred_meshes: list[str], num_points: int,
         return None
     out: dict = {"views": len(preds)}
     if "iou" in which:
-        occ_fn = (voxelize.occupancy_device if device_iou
-                  else voxelize.voxelize_surface)
-        o_gt = occ_fn(*gt, dim=dim)
-        ious = []
-        for mesh in pred_meshes_np:
-            o_p = occ_fn(*mesh, dim=dim)
-            union = np.logical_or(o_gt, o_p).sum()
-            ious.append(0.0 if union == 0
-                        else float(np.logical_and(o_gt, o_p).sum())
-                        / float(union))
-        out["iou_avg"] = float(np.mean(ious))
-        out["iou_best"] = float(np.max(ious))
+        if device_iou:
+            # device voxelization must NOT run here: this function executes
+            # on pool workers, and device traffic from worker threads is
+            # the documented 10x tunnel-contention poison — defer the
+            # meshes to _object_device (caller thread) instead
+            out["_iou_meshes"] = (gt, pred_meshes_np)
+        else:
+            _host_iou(gt, pred_meshes_np, dim, voxelize.voxelize_surface,
+                      out)
     return np.stack(preds), gt_pts, pred_paths, out
 
 
-def _object_device(host: tuple, which: set[str]) -> dict:
-    """DEVICE half (chamfer/EMD/F-score on the stacked view batch) —
-    called from ONE thread only; see _object_host."""
+def _host_iou(gt, pred_meshes_np, dim: int, occ_fn, out: dict) -> None:
+    o_gt = occ_fn(*gt, dim=dim)
+    ious = []
+    for mesh in pred_meshes_np:
+        o_p = occ_fn(*mesh, dim=dim)
+        union = np.logical_or(o_gt, o_p).sum()
+        ious.append(0.0 if union == 0
+                    else float(np.logical_and(o_gt, o_p).sum())
+                    / float(union))
+    out["iou_avg"] = float(np.mean(ious))
+    out["iou_best"] = float(np.max(ious))
+
+
+def _object_device(host: tuple, which: set[str], dim: int = 110) -> dict:
+    """DEVICE half (chamfer/EMD/F-score on the stacked view batch, plus
+    device-voxel IoU when device_iou deferred it here) — called from ONE
+    thread only; see _object_host."""
     import jax.numpy as jnp
     preds_np, gt_pts, pred_paths, out = host
+    iou_meshes = out.pop("_iou_meshes", None)
+    if iou_meshes is not None:
+        _host_iou(iou_meshes[0], iou_meshes[1], dim,
+                  voxelize.occupancy_device, out)
     pred_arr = jnp.asarray(preds_np)
     gt_arr = jnp.asarray(np.broadcast_to(gt_pts, pred_arr.shape))
     if "cd" in which or "emd" in which:
@@ -128,7 +143,7 @@ def evaluate_object(gt_mesh: str, pred_meshes: list[str], num_points: int,
                         seed=seed, protocol=protocol, device_iou=device_iou)
     if host is None:
         return None
-    return _object_device(host, which)
+    return _object_device(host, which, dim=dim)
 
 
 def _cache_key(num_points: int, which: set[str], dim: int, protocol: str,
@@ -205,16 +220,34 @@ def evaluate_tree(pred_dir: str, gt_dir: str, lst_dir: str,
                                 protocol=protocol, device_iou=device_iou)
             return ("miss", host, cpath, key)
 
+        from collections import deque
         with ThreadPoolExecutor(workers) as pool:
-            # pool.map prefetches host halves while the main thread owns
-            # the strictly-sequential device metric calls
-            for tag, payload, cpath, key in pool.map(host_one, jobs):
+            # bounded submit window (2x workers ahead): host halves
+            # prefetch while the main thread owns the strictly-sequential
+            # device metric calls, but completed payloads — stacked
+            # [views,n,3] point clouds — never accumulate unboundedly if
+            # the device half lags (an eager pool.map buffered the whole
+            # category, potentially GBs on the 1-core eval hosts)
+            job_iter = iter(jobs)
+            inflight: deque = deque()
+
+            def fill():
+                while len(inflight) < 2 * workers:
+                    j = next(job_iter, None)
+                    if j is None:
+                        return
+                    inflight.append(pool.submit(host_one, j))
+
+            fill()
+            while inflight:
+                tag, payload, cpath, key = inflight.popleft().result()
+                fill()
                 if tag == "hit":
                     per_obj.append(payload)
                     continue
                 if payload is None:
                     continue
-                r = _object_device(payload, which)
+                r = _object_device(payload, which, dim=dim)
                 if cpath is not None:
                     _cache_store(cpath, key, r)
                 per_obj.append(r)

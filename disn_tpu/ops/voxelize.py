@@ -3,10 +3,13 @@ test/test_iou.py:208-233).
 
 The reference inserts the mesh into a VoxelGrid(2/dim) and marks the voxels
 of the resulting voxel-mesh vertices with index (v + 1.1) / 2.4 * dim — i.e.
-surface-voxel occupancy on a dim^3 grid covering [-1.1, 1.3). We reproduce
-that protocol with area-adaptive triangle point sampling (enough samples per
-triangle that no crossed cell is missed), plus an optional solid fill by
-x-ray parity for watertight meshes.
+surface-voxel occupancy on a dim^3 grid covering [-1.1, 1.3). The protocol
+path (`voxelize_surface`) computes that occupancy EXACTLY via a native
+13-axis triangle-box SAT (native/voxelsat.cpp — the same geometric predicate
+pymesh's insert_mesh realizes), falling back to area-adaptive triangle point
+sampling (`voxelize_sampled`) only when the native build is unavailable.
+The sampled-vs-exact IoU delta is pinned by tests/test_metrics.py; the
+device path (occupancy_device) remains sampling-based and opt-in.
 """
 from __future__ import annotations
 
@@ -18,7 +21,24 @@ import numpy as np
 def voxelize_surface(verts: np.ndarray, faces: np.ndarray, dim: int = 110,
                      offset: float = 1.1, span: float = 2.4,
                      samples_per_cell: float = 4.0) -> np.ndarray:
-    """Boolean [dim,dim,dim] occupancy of cells crossed by the surface."""
+    """Boolean [dim,dim,dim] occupancy of cells crossed by the surface —
+    exact (native SAT) when available, sampled otherwise."""
+    try:
+        from disn_tpu import native
+        return native.voxelize_sat(np.asarray(verts, np.float32),
+                                   np.asarray(faces, np.int32).reshape(-1, 3),
+                                   dim=dim, offset=offset, span=span)
+    except Exception:  # native toolchain unavailable: sampling fallback
+        return voxelize_sampled(verts, faces, dim=dim, offset=offset,
+                                span=span, samples_per_cell=samples_per_cell)
+
+
+def voxelize_sampled(verts: np.ndarray, faces: np.ndarray, dim: int = 110,
+                     offset: float = 1.1, span: float = 2.4,
+                     samples_per_cell: float = 4.0) -> np.ndarray:
+    """Stochastic surface occupancy (area-proportional triangle sampling);
+    kept as the no-toolchain fallback and as the comparison arm for the
+    exactness bound test."""
     occ = np.zeros((dim, dim, dim), dtype=bool)
     if len(faces) == 0:
         return occ

@@ -12,11 +12,14 @@
 //
 // Number parsing: a fixed-point fast path (all the meshes this framework
 // writes are %.6f) accumulating digits into a u64 and dividing by an exact
-// power of ten — the correctly-rounded double of the decimal, i.e. EXACTLY
-// what Python's float() produces, then narrowed to f32 the same way numpy
-// narrows; exponents / >18-digit forms fall back to strtod (same double ->
-// float path, so parity with the Python reader holds everywhere). strtof
-// was 4-5x slower than the whole rest of the parse.
+// power of ten. Both u (<= 15 digits < 2^53) and 10^k are then EXACTLY
+// representable doubles, so the single division is the correctly-rounded
+// double of the decimal — exactly what Python's float() produces — then
+// narrowed to f32 the same way numpy narrows. Exponents / >=16-digit forms
+// fall back to strtod (same double -> float path, so parity with the Python
+// reader holds everywhere; at 16+ digits u itself would round before the
+// division — double rounding — losing the invariant). strtof was 4-5x
+// slower than the whole rest of the parse.
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -32,9 +35,9 @@ inline const char* skip_line(const char* p, const char* end) {
   return p < end ? p + 1 : end;
 }
 
-const double kPow10[19] = {
-    1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,  1e8,  1e9,
-    1e10, 1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18};
+const double kPow10[16] = {1e0,  1e1,  1e2,  1e3, 1e4,  1e5,
+                           1e6,  1e7,  1e8,  1e9, 1e10, 1e11,
+                           1e12, 1e13, 1e14, 1e15};
 
 // returns the char after the number, or nullptr on no digits
 inline const char* parse_f32(const char* q, const char* end, float* out) {
@@ -48,7 +51,7 @@ inline const char* parse_f32(const char* q, const char* end, float* out) {
   int nd = 0, k = 0;
   bool any = false, slow = false;
   while (q < end && is_dig(*q)) {
-    if (nd < 18) {
+    if (nd < 15) {  // keep u < 2^53 so (double)u is exact — see header
       u = u * 10 + (uint64_t)(*q - '0');
       nd++;
     } else {
@@ -60,7 +63,7 @@ inline const char* parse_f32(const char* q, const char* end, float* out) {
   if (q < end && *q == '.') {
     q++;
     while (q < end && is_dig(*q)) {
-      if (nd < 18) {
+      if (nd < 15) {
         u = u * 10 + (uint64_t)(*q - '0');
         nd++;
         k++;
@@ -116,10 +119,10 @@ extern "C" int64_t parse_obj(const char* buf, int64_t len,
   int64_t nv = 0, nf = 0;
   bool overflow = false;
   while (p < end) {
-    // only consider directives at line start; skip leading spaces
-    while (p < end && is_sp(*p)) p++;
-    if (p >= end) break;
-    if (*p == 'v' && p + 1 < end && is_sp(p[1])) {
+    // Python-reader parity (codecs.read_obj): a directive is the literal
+    // "v " / "f " prefix at COLUMN 0 — no leading whitespace, no tab
+    // separator (line.startswith("v ")); anything else skips the line
+    if (*p == 'v' && p + 1 < end && p[1] == ' ') {
       const char* q = p + 1;
       float xyz[3];
       for (int k = 0; k < 3; k++) {
@@ -136,7 +139,7 @@ extern "C" int64_t parse_obj(const char* buf, int64_t len,
       }
       nv++;
       p = skip_line(q, end);
-    } else if (*p == 'f' && p + 1 < end && is_sp(p[1])) {
+    } else if (*p == 'f' && p + 1 < end && p[1] == ' ') {
       const char* q = p + 1;
       int32_t idx[64];
       int n = 0;
@@ -148,7 +151,10 @@ extern "C" int64_t parse_obj(const char* buf, int64_t len,
         if (!q) return -2;
         // skip the /vt/vn tail of the token
         while (q < end && !is_sp(*q) && *q != '\n') q++;
-        if (n < 64) idx[n++] = v - 1;
+        if (n == 64) return -2;  // >64-gon: treat as malformed so the
+        // caller falls back to the Python loop (which fan-triangulates
+        // arbitrary polygons) instead of silently truncating the face
+        idx[n++] = v - 1;
       }
       for (int i = 1; i + 1 < n; i++) {
         if (nf < fcap) {

@@ -32,7 +32,9 @@ Exit codes: 0 pass, 1 numeric mismatch (assertion), 3 TPU unreachable
 (skipped — the probe is a bounded subprocess, pattern of
 bench.tpu_reachable, so a dead axon tunnel cannot hang this script).
 
-Usage: python scripts/tpu_smoke.py
+Usage: python scripts/tpu_smoke.py [--json OUT.json]
+(--json writes the machine-readable verdict — the per-round artifact
+proving this round's kernels matched their oracles on hardware.)
 """
 from __future__ import annotations
 
@@ -46,7 +48,7 @@ sys.path.insert(0, "/root/repo")
 from bench import tpu_reachable  # noqa: E402  (bounded subprocess probe)
 
 
-def check_fused_kernel() -> None:
+def check_fused_kernel() -> list[dict]:
     import jax
     import jax.numpy as jnp
 
@@ -65,6 +67,7 @@ def check_fused_kernel() -> None:
     img = np.asarray(jax.random.uniform(jax.random.PRNGKey(1),
                                         (1, 137, 137, 3)), np.float32)
 
+    results = []
     for dtype, tol in (("float32", 5e-3), ("bfloat16", 0.02)):
         cfg = Config(num_classes=32, width_mult=0.125, sdf_res=fine_r - 1,
                      compute_dtype=dtype, sampling="tf1")
@@ -87,9 +90,13 @@ def check_fused_kernel() -> None:
             f"fused {dtype} drift {drift:.4g} > {tol} * {scale:.4g}")
         print(f"  fused kernel {dtype}: OK ({cells.size} cells, "
               f"drift {drift:.2e} <= {tol} * {scale:.3g})", flush=True)
+        results.append({"check": f"fused_kernel_{dtype}", "ok": True,
+                        "cells": int(cells.size), "drift": drift,
+                        "bound": tol * scale})
+    return results
 
 
-def check_marching() -> None:
+def check_marching() -> list[dict]:
     import jax.numpy as jnp
 
     from disn_tpu.ops import marching
@@ -133,12 +140,35 @@ def check_marching() -> None:
     assert vdrift <= cell / 65535 + 1e-6, f"record verts drift {vdrift}"
     print(f"  records vs owned-edge: OK ({len(ef)} faces, "
           f"vert drift {vdrift:.2e})", flush=True)
+    return [{"check": "marching_soup_vs_oracle", "ok": True,
+             "tris": int(len(soup_np))},
+            {"check": "records_vs_owned_edge", "ok": True,
+             "faces": int(len(ef)), "vert_drift": vdrift}]
+
+
+def _write_json(path: str | None, payload: dict) -> None:
+    if path is None:
+        return
+    import json
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
 
 
 def main() -> int:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None,
+                    help="write the machine-readable verdict here")
+    args = ap.parse_args()
+    import subprocess
+    rev = subprocess.run(["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+                         capture_output=True, text=True).stdout.strip()
     if not tpu_reachable():
         print("tpu_smoke: TPU unreachable (tunnel down?) — SKIPPED",
               flush=True)
+        _write_json(args.json, {"status": "skipped_tunnel_down",
+                                "git": rev})
         return 3
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -146,9 +176,15 @@ def main() -> int:
     dev = jax.devices()[0]
     assert dev.platform == "tpu", f"expected tpu, got {dev}"
     print(f"tpu_smoke on {dev.device_kind}", flush=True)
-    check_fused_kernel()
-    check_marching()
+    try:
+        checks = check_fused_kernel() + check_marching()
+    except AssertionError as e:
+        _write_json(args.json, {"status": "fail", "device": dev.device_kind,
+                                "git": rev, "error": str(e)})
+        raise
     print("tpu_smoke: ALL OK", flush=True)
+    _write_json(args.json, {"status": "pass", "device": dev.device_kind,
+                            "git": rev, "checks": checks})
     return 0
 
 
