@@ -120,6 +120,18 @@ def read_sdf_h5(path: str) -> SdfSamples:
         )
 
 
+def read_sdf_params(path: str) -> np.ndarray:
+    """Only the [6+] sdf_params dataset — the one field reconstruction
+    needs. read_sdf_h5 gunzips the complete sample arrays for it (3.6 ms
+    CPU/view even on the tiny fixture, more on real ShapeNet), and the
+    1-core eval farm is host-CPU-bound, so its reader takes this plus a
+    per-object cache instead."""
+    if h5py is None:
+        raise RuntimeError("h5py unavailable")
+    with h5py.File(path, "r") as f:
+        return f["sdf_params"][:].astype(np.float32)
+
+
 # --------------------------------------------------------------------------
 # Image+camera h5 (per view): img_arr [H,W,4] uint8, trans_mat [4,3], K, RT,
 # obj_rot_mat [3,3], regress_mat [4,3]

@@ -646,10 +646,10 @@ def reconstruct_multiview(params: Params, cfg: Config, paths, listinfo,
             imgs.append(rec.img_arr[:, :, :cfg.img_channels]
                         .astype(np.float32) / 255.0)
             mats.append(rec.trans_mat)
-        sdf = codecs.read_sdf_h5(paths.sdf_path(cat_id, obj))
+        sdf_params = codecs.read_sdf_params(paths.sdf_path(cat_id, obj))
         vol = multiview.multiview_sdf(params, np.stack(imgs), np.stack(mats),
-                                      sdf.sdf_params, cfg)
-        verts, faces = volume_to_mesh(vol, sdf.sdf_params, iso=cfg.iso)
+                                      sdf_params, cfg)
+        verts, faces = volume_to_mesh(vol, sdf_params, iso=cfg.iso)
         out = os.path.join(out_root, cat_id, f"{cat_id}_{obj}_fused.obj")
         codecs.write_obj(out, verts, faces)
         written.append(out)
@@ -698,13 +698,21 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
     stop = Event()
 
     def reader():
+        # per-object sdf_params cache: consecutive views share the object,
+        # and reconstruction needs ONLY the [6] bbox params — the full
+        # read_sdf_h5 gunzipped the sample arrays per view (~3.6 ms of the
+        # 1-core CPU budget each; the farm is host-CPU-bound)
+        sdf_key, sdf_params = None, None
         for cat_id, obj, view in my_list:
             if stop.is_set():
                 break
             try:
                 rec = codecs.read_view_h5(paths.img_path(cat_id, obj, view))
-                sdf = codecs.read_sdf_h5(paths.sdf_path(cat_id, obj))
-                q.put((cat_id, obj, view, rec, sdf))
+                if (cat_id, obj) != sdf_key:
+                    sdf_params = codecs.read_sdf_params(
+                        paths.sdf_path(cat_id, obj))
+                    sdf_key = (cat_id, obj)
+                q.put((cat_id, obj, view, rec, sdf_params))
             except Exception as e:  # surface to the consumer and STOP:
                 # the main thread re-raises, so reading on would park this
                 # thread forever on the bounded queue, pinning h5 buffers
@@ -723,14 +731,14 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
         validation (the NEXT image's device chain is already queued behind
         it, so the device never idles across the sync), then hand assembly
         + write to the pool."""
-        ctx, rec, sdf, img, out, tag = pending
+        ctx, rec, sdf_params, img, out, tag = pending
         assemble = _fused_collect(ctx, defer=True) if ctx else None
         if assemble is None:
             # fallback (ineligible config / cap overflow / escapes):
             # exact unfused path, serial — rare by design
             vol = predict_volume(params, img, rec.trans_mat,
-                                 sdf.sdf_params, cfg, sparse=sparse)
-            mesh_ = volume_to_mesh(vol, sdf.sdf_params, iso=cfg.iso,
+                                 sdf_params, cfg, sparse=sparse)
+            mesh_ = volume_to_mesh(vol, sdf_params, iso=cfg.iso,
                                    max_tris=cfg.max_triangles)
             assemble = lambda m=mesh_: m  # noqa: E731
 
@@ -767,7 +775,7 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
                 break
             if isinstance(item, Exception):
                 raise item
-            cat_id, obj, view, rec, sdf = item
+            cat_id, obj, view, rec, sdf_params = item
             img = (rec.img_arr[:, :, :cfg.img_channels]
                    .astype(np.float32) / 255.0)
             # two-digit view id like the reference output tree
@@ -785,9 +793,9 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
                 # only adds threads outside the pool's core clamp — on the
                 # 1-core eval host it regressed the farm 129 -> 249 ms/img
                 ctx = _fused_dispatch(params, img[None], rec.trans_mat,
-                                      sdf.sdf_params, cfg, iso=cfg.iso,
+                                      sdf_params, cfg, iso=cfg.iso,
                                       optimistic=False)
-            pendings.append((ctx, rec, sdf, img, out,
+            pendings.append((ctx, rec, sdf_params, img, out,
                              f"{cat_id}/{obj}/{view}"))
             while len(pendings) > max(1, depth):
                 flush(pendings.popleft())

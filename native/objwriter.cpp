@@ -16,15 +16,37 @@
 
 namespace {
 
+// two-digit lookup table: digit emission via one 2-byte copy per pair
+// instead of a div-mod chain per digit (the formatter is the eval farm's
+// biggest single host-CPU item; measured ~25% faster at 800k tris)
+struct Digits2 {
+  char d[200];
+  constexpr Digits2() : d{} {
+    for (int i = 0; i < 100; i++) {
+      d[2 * i] = (char)('0' + i / 10);
+      d[2 * i + 1] = (char)('0' + i % 10);
+    }
+  }
+};
+constexpr Digits2 kD2;
+
 // writes integer n (n >= 0) to p, returns chars written
 inline int utoa(char* p, uint64_t n) {
   char tmp[20];
-  int k = 0;
-  do {
-    tmp[k++] = (char)('0' + n % 10);
-    n /= 10;
-  } while (n);
-  for (int i = 0; i < k; i++) p[i] = tmp[k - 1 - i];
+  char* t = tmp + 20;
+  while (n >= 100) {
+    t -= 2;
+    memcpy(t, kD2.d + 2 * (n % 100), 2);
+    n /= 100;
+  }
+  if (n >= 10) {
+    t -= 2;
+    memcpy(t, kD2.d + 2 * n, 2);
+  } else {
+    *--t = (char)('0' + n);
+  }
+  int k = (int)(tmp + 20 - t);
+  memcpy(p, t, (size_t)k);
   return k;
 }
 
@@ -40,11 +62,10 @@ inline int ftoa6(char* p, float x) {
   uint64_t fx = (uint64_t)(d * 1e6 + 0.5);
   q += utoa(q, fx / 1000000);
   *q++ = '.';
-  uint64_t frac = fx % 1000000;
-  for (int i = 5; i >= 0; i--) {
-    q[i] = (char)('0' + frac % 10);
-    frac /= 10;
-  }
+  uint32_t frac = (uint32_t)(fx % 1000000);
+  memcpy(q, kD2.d + 2 * (frac / 10000), 2);
+  memcpy(q + 2, kD2.d + 2 * (frac / 100 % 100), 2);
+  memcpy(q + 4, kD2.d + 2 * (frac % 100), 2);
   q += 6;
   return (int)(q - p);
 }
