@@ -80,8 +80,11 @@ def main() -> None:
 
     params = synthetic.analytic_octahedron_params(cfg, r=0.6)
     rng = np.random.RandomState(0)
-    imgs = [rng.rand(1, cfg.img_h, cfg.img_w, 3).astype(np.float32)
-            for _ in range(reps + 2)]
+    # u8 images, like the h5 sources: normalized on-device (disn.encode)
+    # so the per-rep upload is 56 KB, not 225 KB of f32 on the critical
+    # path before phase_a (~4-7 ms at the tunnel's 22-50 MB/s)
+    imgs = [rng.randint(0, 256, size=(1, cfg.img_h, cfg.img_w, 3),
+                        dtype=np.uint8) for _ in range(reps + 2)]
     trans = synthetic.demo_trans_mat()
 
     # Warm EVERY jit the timed path can hit (prediction ladder: seed ->

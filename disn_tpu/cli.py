@@ -408,7 +408,7 @@ def _cam_create_h5(args, cfg, params, logger, batch: int = 64) -> None:
                                       window=2 * batch):
             metas.append(meta)
             recs.append(rec)
-            imgs.append(rec.img_arr[:, :, :3].astype(np.float32) / 255.0)
+            imgs.append(rec.img_arr[:, :, :3])  # u8: normalized on-device
             n += 1
             if len(imgs) == batch:
                 dispatch()
@@ -459,7 +459,7 @@ def cmd_demo(args) -> None:
     logger = MetricLogger(None)
     if args.image.endswith(".h5"):
         rec = codecs.read_view_h5(args.image)
-        img = rec.img_arr[:, :, :cfg.img_channels].astype(np.float32) / 255.0
+        img = rec.img_arr[:, :, :cfg.img_channels]  # u8: on-device /255
         trans = rec.trans_mat
     else:
         from PIL import Image

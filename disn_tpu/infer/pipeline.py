@@ -519,7 +519,8 @@ def image_to_mesh(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                   cfg: Config, sdf_params: np.ndarray | None = None,
                   iso: float | None = None, sparse: bool = True,
                   clean: bool = False) -> tuple[np.ndarray, np.ndarray]:
-    """Single image (float [H,W,3|4] in [0,1]) -> (vertices, faces).
+    """Single image ([H,W,3|4]: float in [0,1], or uint8 — normalized
+    on-device, 4x fewer upload bytes) -> (vertices, faces).
 
     sdf_params defaults to the demo's unit box [-1,1]^3 (demo/demo.py:278)."""
     if sdf_params is None:
@@ -643,8 +644,8 @@ def reconstruct_multiview(params: Params, cfg: Config, paths, listinfo,
         imgs, mats = [], []
         for v in sorted(views):
             rec = codecs.read_view_h5(paths.img_path(cat_id, obj, v))
-            imgs.append(rec.img_arr[:, :, :cfg.img_channels]
-                        .astype(np.float32) / 255.0)
+            imgs.append(rec.img_arr[:, :, :cfg.img_channels])  # u8:
+            # normalized on-device (disn.encode), 4x fewer upload bytes
             mats.append(rec.trans_mat)
         sdf_params = codecs.read_sdf_params(paths.sdf_path(cat_id, obj))
         vol = multiview.multiview_sdf(params, np.stack(imgs), np.stack(mats),
@@ -776,8 +777,9 @@ def reconstruct_split(params: Params, cfg: Config, paths, listinfo,
             if isinstance(item, Exception):
                 raise item
             cat_id, obj, view, rec, sdf_params = item
-            img = (rec.img_arr[:, :, :cfg.img_channels]
-                   .astype(np.float32) / 255.0)
+            # u8 straight through: normalized on-device (disn.encode) —
+            # 4x fewer tunnel bytes AND no 1-core host astype/divide
+            img = rec.img_arr[:, :, :cfg.img_channels]
             # two-digit view id like the reference output tree
             # (test/create_sdf.py:311, view ids from the NN.h5 stems)
             out = os.path.join(out_root, cat_id,

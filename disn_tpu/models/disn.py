@@ -88,7 +88,18 @@ def preprocess_image(img: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 
 def encode(params: Params, img: jnp.ndarray, cfg: Config
            ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
-    """Image [B,137,137,C] -> (global embedding [B,1024], endpoints)."""
+    """Image [B,137,137,C] -> (global embedding [B,1024], endpoints).
+
+    uint8 inputs are normalized on-device: the h5 sources are u8, and
+    shipping u8 over the tunnel is 4x fewer host->device bytes — the
+    ~225 KB f32 image upload sat on the e2e critical path before phase_a
+    could start (~4-7 ms at the link's 22-50 MB/s). Eager-mode it is
+    bit-identical to the host astype/divide it replaces; under jit, XLA
+    may fold the /255 into downstream convs (reassociation), measured
+    ~3e-5 coordinate drift on one demo vertex — same class, and far
+    smaller, than the bf16 compute-path drift."""
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
     resized = preprocess_image(img, cfg)
     cd = _compute_dtype(cfg)
     if cfg.encoder is EncoderKind.ALEXNET:

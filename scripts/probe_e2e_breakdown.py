@@ -34,8 +34,8 @@ def main() -> None:
                width_mult=0.125)
     params = synthetic.analytic_octahedron_params(cfg, r=0.6)
     rng = np.random.RandomState(0)
-    imgs = [rng.rand(1, cfg.img_h, cfg.img_w, 3).astype(np.float32)
-            for _ in range(reps + 2)]
+    imgs = [rng.randint(0, 256, size=(1, cfg.img_h, cfg.img_w, 3),
+                        dtype=np.uint8) for _ in range(reps + 2)]
     trans = synthetic.demo_trans_mat()
     sdfp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
 
@@ -53,10 +53,12 @@ def main() -> None:
         tf = t1
         sizes = []
         if ctx.get("futs"):
-            arr = ctx["futs"][5].result()
+            # flags: futs[-1] in cchunk mode, futs[5] in masked mode
+            arr = ctx["futs"][-1 if ctx.get("mode") == "cchunk"
+                              else 5].result()
             tf = time.perf_counter()
             lands = []
-            for f in ctx["futs"][:5]:
+            for f in ctx["futs"][:-1]:
                 a = f.result()
                 lands.append((time.perf_counter() - t1) * 1e3)
                 sizes.append(a.nbytes)

@@ -279,3 +279,23 @@ def test_batch_norm_and_dropout():
     np.testing.assert_array_equal(
         np.asarray(layers.dropout(key, x, rate=0.5, is_training=False)),
         np.asarray(x))
+
+
+def test_encode_uint8_matches_host_normalized(rng):
+    """u8 images normalize on-device (disn.encode): in eager mode
+    bit-identical to the host astype(f32)/255 they replace (under jit,
+    XLA fusion may reassociate the /255 — ~1e-5-class drift) — the
+    farm/bench ship u8 over the tunnel, 4x fewer upload bytes on the
+    e2e critical path."""
+    cfg = Config(num_classes=32, width_mult=0.125)
+    params = {"vgg_16": vgg.init(rng, in_channels=3, num_classes=32,
+                                 width_mult=0.125)}
+    img_u8 = np.asarray(
+        jax.random.randint(rng, (1, 137, 137, 3), 0, 256), np.uint8)
+    emb_u8, eps_u8 = disn.encode(params, jnp.asarray(img_u8), cfg)
+    emb_f, eps_f = disn.encode(
+        params, jnp.asarray(img_u8.astype(np.float32) / 255.0), cfg)
+    np.testing.assert_array_equal(np.asarray(emb_u8), np.asarray(emb_f))
+    for n in eps_u8:
+        np.testing.assert_array_equal(np.asarray(eps_u8[n]),
+                                      np.asarray(eps_f[n]))
