@@ -126,6 +126,20 @@ def _update_pred(key, nb: int, ni: int, nv: int | None, nvc=None) -> None:
     _SPEC_CACHE[key] = (nb, ni, nv, 0, nvc)
 
 
+_NVCAP_MARGIN = 1.25  # headroom multiplier on the per-chunk tqc caps
+_NVCAP_BUCKET = None  # None -> marching._qbucket (module knob for A/B)
+
+
+def _nvcap_of(nvk: int) -> int:
+    """Per-chunk tqc fetch cap from the predicted chunk crossing count:
+    bucketed so cap drift between similar images reuses jit variants, with
+    margin so small image-to-image nv growth doesn't force the exact
+    re-run path (a cap miss costs ~40 ms)."""
+    from disn_tpu.ops import marching as marching_mod
+    bucket = _NVCAP_BUCKET or marching_mod._qbucket
+    return bucket(max(4, int(nvk * _NVCAP_MARGIN)))
+
+
 def _fused_bcap(n_blocks: int, sizes: dict) -> int:
     """Candidate-block cap for the extraction scan: active cells (<= the
     fine-pass bucket) + a ghost margin; derived from n_blocks so a
@@ -228,7 +242,8 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         _, _, _, _, count, esc_a = ctx["pa"]
         scalars = (count, esc_a, esc_b, ncd, gov_d)
         if (nv_p is not None and cfg.compact_tq and nvc_p is not None
-                and nvc_p[:2] == (ni_p, batch_p) and optimistic):
+                and nvc_p[:2] == (ni_p, batch_p) and optimistic
+                and len(nvc_p[2]) == len(marching_mod._chunk_bounds(ni_p))):
             # CHUNKED COMPACT only for latency callers (optimistic=True,
             # i.e. single-image): its extra per-image host CPU (5 more jit
             # dispatches + 7 more fetch submissions + chunk joins, ~+16 ms
@@ -247,9 +262,7 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
             # last tiny jit emits from the chunk scalars)
             words = marching_mod._dense_words_jit(vol, iso=float(iso))
             bounds = marching_mod._chunk_bounds(ni_p)
-            nvcaps = tuple(
-                marching_mod._qbucket(max(4, int(nvk * 1.25)))
-                for nvk in nvc_p[2])
+            nvcaps = tuple(_nvcap_of(nvk) for nvk in nvc_p[2])
             parts = [blk_d]
             nv_ds = []
             for k, (s, sz) in enumerate(bounds):
@@ -502,9 +515,10 @@ def warm_fused(params: Params, img: np.ndarray, trans_mat: np.ndarray,
     ids, ncd = ctx["pbm"][2], ctx["pbm"][3]
     words = m._dense_words_jit(vol, iso=float(iso))
     bounds = m._chunk_bounds(ni_p)
+    bucket = _NVCAP_BUCKET or m._qbucket
     for k, (s, sz) in enumerate(bounds):
         cap = ctx["nvcap"][k]
-        for cap_n in (m._qbucket(max(4, cap - 1)), m._qbucket(cap + 1)):
+        for cap_n in (bucket(max(4, cap - 1)), bucket(cap + 1)):
             if cap_n != cap:
                 m._records_chunk_compact(
                     words, ids, ncd, R=cfg.grid_resolution,

@@ -113,6 +113,18 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.derive_recs.restype = ctypes.c_int
+        lib.derive_recs.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
         lib.voxelize_sat.restype = None
         lib.voxelize_sat.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -173,6 +185,36 @@ def mesh_faces(ids: np.ndarray, recs: np.ndarray, n_cells: int, R: int
     if ntri < 0:
         raise RuntimeError(f"mesh_faces failed (rc={ntri})")
     return faces[:ntri].copy()
+
+
+def derive_recs(blk: np.ndarray, imask: np.ndarray, R: int,
+                pair_j: np.ndarray, bad: np.ndarray) -> np.ndarray:
+    """Fetched u8 inside-mask stream -> u32 (cross<<8 | inside) records
+    (host mirror of ops/marching._records_from_words — see derive_recs in
+    meshassemble.cpp). blk: the scan's (block id, mask lo, mask hi) rows;
+    pair_j [D]: corner index of each owned edge's far end; bad [D]:
+    bitmask of axes on which the edge aliases at the grid boundary."""
+    lib = _load()
+    blk = np.ascontiguousarray(blk, np.int32)
+    imask = np.ascontiguousarray(imask, np.uint8)
+    out = np.empty(len(imask), np.uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    bids = np.ascontiguousarray(blk[:, 0])
+    mlo = np.ascontiguousarray(blk[:, 1]).view(np.uint32)
+    mhi = np.ascontiguousarray(blk[:, 2]).view(np.uint32)
+    pair_j = np.ascontiguousarray(pair_j, np.int32)
+    bad = np.ascontiguousarray(bad, np.int32)
+    lib.derive_recs(
+        bids.ctypes.data_as(i32p), mlo.ctypes.data_as(u32p),
+        mhi.ctypes.data_as(u32p), np.int32(len(blk)),
+        imask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int64(len(imask)), np.int32(R), np.int32(len(pair_j)),
+        pair_j.ctypes.data_as(i32p), bad.ctypes.data_as(i32p),
+        out.ctypes.data_as(u32p))
+    # an under-covering stream (rows encode more cells than slots) is
+    # detected by the callers' mask-count-vs-slots checks, not here
+    return out
 
 
 def mesh_faces_blocks(blk: np.ndarray, recs: np.ndarray, n_cells: int,

@@ -1208,10 +1208,13 @@ def _compact_tq(rec: jnp.ndarray, tq: jnp.ndarray, nvcap: int
 _REC_CHUNKS = 4  # fetch-overlap chunk count for the record stage
 
 
-def _chunk_bounds(n_iter: int, c: int = _REC_CHUNKS
+def _chunk_bounds(n_iter: int, c: int | None = None
                   ) -> list[tuple[int, int]]:
-    """Split n_iter record batches into <= c near-equal contiguous chunks:
+    """Split n_iter record batches into <= c (default _REC_CHUNKS, read at
+    call time so probes can A/B the count) near-equal contiguous chunks:
     [(start_iter, n_iters), ...]. Slot ranges are start*batch-based."""
+    if c is None:
+        c = _REC_CHUNKS
     c = max(1, min(c, n_iter))
     base, rem = divmod(n_iter, c)
     out = []
@@ -1231,9 +1234,11 @@ def _chunk_nvs(rec: jnp.ndarray, n_iter: int, batch: int) -> list:
             for s, sz in _chunk_bounds(n_iter)]
 
 
-@functools.partial(jax.jit, static_argnames=("iso", "n_iter", "batch"))
+@functools.partial(jax.jit,
+                   static_argnames=("iso", "n_iter", "batch", "u8"))
 def _records_masked_split(volume, cell_ids, n_cells, *, iso: float,
-                          n_iter: int, batch: int, scalars=()):
+                          n_iter: int, batch: int, scalars=(),
+                          u8: bool = True):
     """Record pass + fetch plan in ONE dispatch: tq pre-split in 3 (the
     five-stream fetch layout) and the crossing count, replacing a record
     jit + a count jit + 3 slice jits of per-image dispatch work on the
@@ -1255,6 +1260,12 @@ def _records_masked_split(volume, cell_ids, n_cells, *, iso: float,
     nvk = _chunk_nvs(rec, n_iter, batch)
     flags = jnp.stack([jnp.asarray(s, jnp.int32).reshape(())
                        for s in (*scalars, nv, *nvk)])
+    # ship ONLY the inside mask (u8, default): the cross bits are host-
+    # derivable from (inside, cell coords) — see _derive_recs — halving
+    # the rec stream's tunnel bytes (~82 KB at production counts); u8=False
+    # keeps the full u16 stream (A/B probes)
+    if u8:
+        rec = (rec & jnp.uint16(0xFF)).astype(jnp.uint8)
     return rec, tq[:t0], tq[t0:t1], tq[t1:], flags
 
 
@@ -1266,18 +1277,22 @@ def _dense_words_jit(volume, *, iso: float):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("R", "start", "size", "nvcap"))
+                   static_argnames=("R", "start", "size", "nvcap", "u8"))
 def _records_chunk_compact(words, cell_ids, n_cells, *, R: int, start: int,
-                           size: int, nvcap: int):
+                           size: int, nvcap: int, u8: bool = True):
     """One slot-range chunk of the compact record stage: gather the packed
     words for global slots [start, start+size), compact ITS crossing-edge
     t params (vertex order is slot-major, so the concatenation of chunk
     tqc[:nv_k] slices reproduces the global compact stream exactly).
-    Returns (rec_k u16 [size], tqc_k [nvcap], nv_k i32)."""
+    Returns (rec_k u8 [size] — inside mask only, cross is host-derivable
+    (_derive_recs); u8=False keeps u16 for A/B probes — tqc_k [nvcap],
+    nv_k i32)."""
     cids = jax.lax.slice_in_dim(cell_ids, start, start + size)
     rec, tq = _records_from_words(list(words), cids,
                                   jnp.maximum(n_cells - start, 0), R)
     tqc, nv = _compact_tq(rec, tq, nvcap)
+    if u8:
+        rec = (rec & jnp.uint16(0xFF)).astype(jnp.uint8)
     return rec, tqc, nv
 
 
@@ -1553,37 +1568,101 @@ def records_start_fetch_compact(rec_d, tqc_d, blk_d):
 
 
 def _chunk_nv_np(rec_np: np.ndarray) -> int:
-    """Crossing count of one fetched rec chunk (the tqc_k[:nv_k] slice
-    length — self-derived, so assembly never waits on the flags stream)."""
-    return int(np.bitwise_count(rec_np >> np.uint16(8)).sum())
+    """Crossing count of one fetched/derived rec chunk (the tqc_k[:nv_k]
+    slice length — self-derived, so assembly never waits on flags)."""
+    return int(np.bitwise_count(rec_np >> np.uint32(8)).sum())
 
 
-def _records_parts(futs, mode: str):
+def _derive_recs(blk_np: np.ndarray, imask_np: np.ndarray, R: int
+                 ) -> np.ndarray:
+    """Fetched u8 inside-mask stream -> the u32 (cross<<8 | inside)
+    records the assemblers consume. The cross bits never cross the tunnel:
+    every owned edge starts at corner 0, so cross_d = (inside bit 0 !=
+    inside bit pair_j[d]), suppressed where the clamped edge aliases out
+    of the grid at the R-1 boundary — exactly _records_from_words'
+    device-side computation (pinned by test). Native C (~0.2 ms at 165k
+    slots) with a vectorized-numpy fallback."""
+    pair_i, pair_j, _, _ = _owned_tables()
+    bad = ((CORNERS[pair_i] | CORNERS[pair_j]) > 0)        # [D, 3]
+    badm = (bad << np.arange(3, dtype=np.int32)[None, :]).sum(1) \
+        .astype(np.int32)                                  # axis bitmask
+    try:
+        from disn_tpu import native
+        return native.derive_recs(blk_np, imask_np, R,
+                                  np.asarray(pair_j, np.int32), badm)
+    except (OSError, CalledProcessError):
+        out = imask_np.astype(np.uint32)
+        ids, n = expand_block_ids_np(blk_np, R)
+        n = min(n, len(out))
+        ids = ids[:n].astype(np.int64)
+        E = R
+        ghost = ((ids % E == E - 1).astype(np.int32)
+                 | (((ids // E) % E == E - 1) << 1)
+                 | ((ids // (E * E) == E - 1) << 2))
+        im = out[:n]
+        pj = np.asarray(pair_j, np.uint32)
+        bitj = (im[:, None] >> pj[None, :]) & 1
+        cross = (((im[:, None] & 1) != bitj)
+                 & ((ghost[:, None] & badm[None, :]) == 0))
+        cmask = (cross << np.arange(len(pj), dtype=np.uint32)[None, :]) \
+            .sum(1).astype(np.uint32)
+        out[:n] = im | (cmask << np.uint32(8))
+        return out
+
+
+def _records_parts(futs, mode: str, R: int):
     """(blk future, recs join, tq join) for a fetch-future list in the
     masked ([tq0,tq1,tq2,blk,rec]), compact ([tqc0,tqc1,rec0,rec1,blk]),
     or cchunk ([blk, rec_0..C-1, tqc_0..C-1, flags]) stream layout. The
     joins are lazy closures so the faces pass (which needs only blk+recs,
     the smallest streams) can overlap the in-flight tq tail on multi-core
-    hosts. For cchunk the tq join concatenates each chunk's tqc sliced to
-    ITS crossing count (popcount of the chunk's recs) — vertex order is
-    slot-major, so the result is byte-identical to the global compact
-    stream."""
+    hosts. u8 rec streams (inside mask only) are derived to the full
+    cross<<8|inside form ONCE on first join (_derive_recs) — the result
+    is cached so tq_join / nv popcounts reuse it. For cchunk the tq join
+    concatenates each chunk's tqc sliced to ITS crossing count (popcount
+    of the chunk's derived recs) — vertex order is slot-major, so the
+    result is byte-identical to the global compact stream."""
     if mode == "cchunk":
         c = (len(futs) - 2) // 2
         rec_fs = futs[1:1 + c]
         tq_fs = futs[1 + c:1 + 2 * c]
-        return (futs[0],
-                lambda: np.concatenate([f.result() for f in rec_fs]),
-                lambda: np.concatenate(
-                    [tf.result()[:_chunk_nv_np(rf.result())]
-                     for rf, tf in zip(rec_fs, tq_fs)]))
+        blk_f = futs[0]
+        state: dict = {}
+
+        def recs_join():
+            if "recs" not in state:
+                parts = [f.result() for f in rec_fs]
+                raw = parts[0] if c == 1 else np.concatenate(parts)
+                state["bounds"] = np.cumsum([0] + [len(p) for p in parts])
+                state["recs"] = (_derive_recs(blk_f.result(), raw, R)
+                                 if raw.dtype == np.uint8 else raw)
+            return state["recs"]
+
+        def chunk_nvs():
+            recs = recs_join()
+            b = state["bounds"]
+            return [_chunk_nv_np(recs[b[k]:b[k + 1]]) for k in range(c)]
+
+        def tq_join():
+            return np.concatenate(
+                [tf.result()[:nvk]
+                 for nvk, tf in zip(chunk_nvs(), tq_fs)])
+
+        return blk_f, recs_join, tq_join, chunk_nvs
     if mode == "compact":
         return (futs[4],
                 lambda: np.concatenate([futs[2].result(), futs[3].result()]),
-                lambda: np.concatenate([futs[0].result(), futs[1].result()]))
-    return (futs[3],
-            lambda: futs[4].result(),
-            lambda: np.concatenate([f.result() for f in futs[:3]]))
+                lambda: np.concatenate([futs[0].result(), futs[1].result()]),
+                None)
+    blk_f = futs[3]
+
+    def recs_join_masked():
+        raw = futs[4].result()
+        return (_derive_recs(blk_f.result(), raw, R)
+                if raw.dtype == np.uint8 else raw)
+
+    return (blk_f, recs_join_masked,
+            lambda: np.concatenate([f.result() for f in futs[:3]]), None)
 
 
 def _assemble_from_records(blk_np, recs, tq_join, n_cells: int,
@@ -1626,7 +1705,7 @@ def _records_finish(futs, sdf_params, n_cells: int, nv: int | None, R: int,
     apply."""
     import os
     overlap = (os.cpu_count() or 1) > 1
-    blk_f, recs_join, tq_join = _records_parts(futs, mode)
+    blk_f, recs_join, tq_join, _ = _records_parts(futs, mode, R)
 
     def assemble():
         if not overlap:
@@ -1694,7 +1773,7 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
     cancel = threading.Event()
     sdf_f = np.asarray(sdf_params, np.float32)
 
-    blk_f, recs_join, tq_join = _records_parts(futs, mode)
+    blk_f, recs_join, tq_join, chunk_nvs = _records_parts(futs, mode, R)
 
     def work():
         # join-all-first for masked/compact, even with spare cores: the C
@@ -1723,9 +1802,8 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
         if mode == "compact" and nvcap is not None and nv > nvcap:
             return None    # tq stream truncated (mode='drop' scatter)
         if mode == "cchunk":
-            c = (len(futs) - 2) // 2
-            for k, rf in enumerate(futs[1:1 + c]):
-                if _chunk_nv_np(rf.result()) > nvcap[k]:
+            for k, nvk in enumerate(chunk_nvs()):
+                if nvk > nvcap[k]:
                     return None  # that chunk's tqc stream is truncated
         if cancel.is_set():
             return None

@@ -503,4 +503,51 @@ int64_t mesh_verts(const int32_t* ids, const uint32_t* recs,
   return nv;
 }
 
+// Derive the u32 (cross<<8 | inside) records from the fetched u8
+// inside-mask stream (host mirror of ops/marching._records_from_words):
+// all owned edges share corner 0, so cross bit d is just "corner 0's
+// inside bit differs from corner pair_j[d]'s", suppressed where the
+// (clamped) edge aliases out of the grid at a cell on the E-1 boundary
+// (bad[d] = bitmask of axes the edge extends along). Shipping only the
+// 8-bit inside mask halves the rec stream's tunnel bytes; this pass is
+// ~0.2 ms at 165k slots. Cells come from the scan's (block id, mask)
+// rows in (block-ascending, bit-ascending) order — exactly the device
+// compaction's slot order; slots >= the encoded cell count keep cross=0
+// (the device zeroed their cross too). When the rows encode MORE cells
+// than there are slots (record slots under-covered the scan — the
+// speculative path's bail case) derivation stops at n_slots and returns
+// the excess; the caller's mask-count-vs-slots check rejects the stream.
+int derive_recs(const int32_t* bids, const uint32_t* mlo,
+                const uint32_t* mhi, int32_t n_rows, const uint8_t* imask,
+                int64_t n_slots, int32_t R, int32_t D,
+                const int32_t* pair_j, const int32_t* bad, uint32_t* out) {
+  const int64_t E = R;
+  const int S = 4;
+  const int64_t B3 = (E + S - 1) / S;
+  int64_t i = 0;
+  for (int32_t r = 0; r < n_rows && i < n_slots; ++r) {
+    uint64_t m = (uint64_t)mlo[r] | ((uint64_t)mhi[r] << 32);
+    if (!m) continue;
+    const int64_t bid = bids[r];
+    const int64_t bx = (bid % B3) * S;
+    const int64_t by = ((bid / B3) % B3) * S;
+    const int64_t bz = (bid / (B3 * B3)) * S;
+    for (; m && i < n_slots; m &= m - 1, ++i) {
+      const int li = __builtin_ctzll(m);
+      const uint32_t ghost = ((bx + li % S == E - 1) ? 1u : 0u) |
+                             ((by + (li / S) % S == E - 1) ? 2u : 0u) |
+                             ((bz + li / (S * S) == E - 1) ? 4u : 0u);
+      const uint32_t inside = imask[i];
+      uint32_t cross = 0;
+      for (int d = 0; d < D; ++d) {
+        if ((uint32_t)bad[d] & ghost) continue;
+        if ((inside & 1u) != ((inside >> pair_j[d]) & 1u)) cross |= 1u << d;
+      }
+      out[i] = (cross << 8) | inside;
+    }
+  }
+  for (; i < n_slots; ++i) out[i] = imask[i];
+  return 0;  // (excess cells, if any, surface via the caller's count check)
+}
+
 }  // extern "C"

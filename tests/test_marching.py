@@ -353,9 +353,11 @@ def test_records_cchunk_matches_masked():
         rec_d, jnp.concatenate([tq0, tq1, tq2]), blk)
     ev, ef = marching.records_finish_masked(mfuts, PARAMS, nc, R)()
     flags = [int(x) for x in np.asarray(flags_d)]
-    nv = int(marching._count_cross(rec_d))
+    # the rec stream is u8 (inside mask only) — nv comes from flags; the
+    # host-side cross derivation is pinned below via the derived recs
+    nv = flags[1]
     bounds = marching._chunk_bounds(n_iter)
-    assert flags[0] == nc and flags[1] == nv
+    assert flags[0] == nc
     nvk_seed = flags[2:]
     assert len(nvk_seed) == len(bounds) and sum(nvk_seed) == nv
 
@@ -659,3 +661,48 @@ def test_chunked_matches_while_variant():
                                np.asarray(p2[:int(c2)]), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(k1[:int(c1)]),
                                   np.asarray(k2[:int(c2)]))
+
+
+def test_derive_recs_matches_device_cross():
+    """The u8 rec stream ships only the inside mask; the host derives the
+    cross bits (_derive_recs, native C + numpy fallback). Pin both host
+    paths bit-exactly to the device's u16 cross<<8|inside records for the
+    same slots — including boundary (ghost) cells where edge aliasing
+    suppresses crossings."""
+    import jax.numpy as jnp
+    from disn_tpu.infer import sparse as sparse_mod
+
+    vol = sphere_volume(R=33, r=1.3)  # sphere > box: boundary cells active
+    R = vol.shape[0]
+    stride = 4
+    coarse = jnp.asarray(vol[::stride, ::stride, ::stride])
+    rc = coarse.shape[0]
+    span = PARAMS[3:6] - PARAMS[0:3]
+    tau = 1.5 * np.sqrt(np.sum((span / (rc - 1)) ** 2))
+    cell_ids, count = sparse_mod._active_cells(coarse, jnp.float32(tau), 1024)
+    ids, ncd, ov, blk = marching._active_cells_from_coarse(
+        jnp.asarray(vol), cell_ids, count, iso=0.0, stride=stride, bcap=1536)
+    nc = int(ncd)
+    assert nc > 0 and int(ov) == 0
+    n_iter, batch = marching.records_n_iter(int(ids.shape[0]), nc, 512)
+    # device truth: the full u16 records for these slots
+    rec16, _ = marching._extract_records(
+        jnp.asarray(vol), ids, ncd, iso=0.0, n_iter=n_iter, batch=batch)
+    want = np.asarray(rec16).astype(np.uint32)
+    imask = (want & 0xFF).astype(np.uint8)
+    blk_np = np.asarray(blk)
+    got_native = marching._derive_recs(blk_np, imask, R)
+    np.testing.assert_array_equal(got_native, want)
+    # numpy fallback path must agree too
+    import disn_tpu.ops.marching as m
+
+    def no_native(*a, **k):
+        raise OSError("forced fallback")
+    import unittest.mock as mock
+    with mock.patch("disn_tpu.native.derive_recs", side_effect=no_native):
+        got_np = m._derive_recs(blk_np, imask, R)
+    np.testing.assert_array_equal(got_np, want)
+    # some boundary cell must exist for the aliasing branch to be covered
+    ids_np = np.asarray(ids[:nc])
+    assert ((ids_np % R == R - 1) | ((ids_np // R) % R == R - 1)
+            | (ids_np // (R * R) == R - 1)).any()
