@@ -662,8 +662,13 @@ def reconstruct_multiview(params: Params, cfg: Config, paths, listinfo,
             # normalized on-device (disn.encode), 4x fewer upload bytes
             mats.append(rec.trans_mat)
         sdf_params = codecs.read_sdf_params(paths.sdf_path(cat_id, obj))
-        vol = multiview.multiview_sdf(params, np.stack(imgs), np.stack(mats),
-                                      sdf_params, cfg)
+        # two-level sparse cull first (~16x fewer fused decodes at 257^3);
+        # exact dense streaming on cap overflow / non-stride grids
+        vol = multiview.multiview_sdf_sparse(
+            params, np.stack(imgs), np.stack(mats), sdf_params, cfg)
+        if vol is None:
+            vol = multiview.multiview_sdf(params, np.stack(imgs),
+                                          np.stack(mats), sdf_params, cfg)
         verts, faces = volume_to_mesh(vol, sdf_params, iso=cfg.iso)
         out = os.path.join(out_root, cat_id, f"{cat_id}_{obj}_fused.obj")
         codecs.write_obj(out, verts, faces)

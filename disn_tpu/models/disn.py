@@ -141,7 +141,8 @@ def sample_local_features(endpoints: dict[str, jnp.ndarray],
 
 
 def apply(params: Params, batch: dict[str, jnp.ndarray], cfg: Config,
-          fused_sampling: bool = True) -> dict[str, jnp.ndarray]:
+          fused_sampling: bool = True, fold: bool = False
+          ) -> dict[str, jnp.ndarray]:
     """Forward pass.
 
     batch keys:
@@ -150,7 +151,18 @@ def apply(params: Params, batch: dict[str, jnp.ndarray], cfg: Config,
       sample_pc_rot [B,N,3] optionally view-rotated copy fed to the MLPs
       trans_mat  [B,4,3]   world->pixel right-multiply matrix
     Returns end_points with pred_sdf [B,N,1|2] plus intermediates.
-    """
+
+    fold=True (twostream + tf1 sampling only; the trainer's default) takes
+    the folded-137 form (infer/dense.normalize_fold): the five endpoint
+    maps and the per-point 1472->512 matmul collapse into ONE per-image
+    [137,137,512] map, so per-point sampling is 4 gather rows instead of
+    80 — and, under grad, 4 scatter rows in the backward pass. The train
+    step measured SAMPLING-bound, not FLOP-bound (3.6 steps/s at tf1 ==
+    f32 == bf16 vs 16.8 at native-4-tap, B=20 full width on v5e;
+    scripts/probe_train_throughput round 5); folding is the same linear
+    algebra, so gradients match up to float summation order. The folded
+    path skips the point_img_feat / per-stream intermediates (the loss
+    reads only pred_sdf)."""
     img = batch["img"]
     cd = _compute_dtype(cfg)
     embedding, endpoints = encode(params, img, cfg)
@@ -168,6 +180,33 @@ def apply(params: Params, batch: dict[str, jnp.ndarray], cfg: Config,
             batch["sample_pc"], batch["trans_mat"],
             img_w=cfg.img_w, img_h=cfg.img_h)
         end_points["sample_img_points"] = img_points
+        if (fold and cfg.variant is Variant.TWOSTREAM
+                and cfg.sampling == "tf1"):
+            cd_ = cd
+            _, w_local = sdfnet.split_local_fold2(
+                params["sdfprediction_imgfeat"])
+            w_local = w_local.astype(cd_)
+            merged = None
+            off = 0
+            for n in endpoint_names(cfg):
+                ch = endpoints[n].shape[-1]
+                f = jnp.einsum("bhwc,cd->bhwd", endpoints[n].astype(cd_),
+                               w_local[off:off + ch])
+                off += ch
+                r = image_ops.resize_bilinear(f, cfg.img_h, cfg.img_w)
+                merged = r if merged is None else merged + r
+            wg = params["sdfprediction"]["fold2"]["conv1"]["weights"]
+            g_contrib = jax.lax.dot_general(
+                embedding.astype(cd_), wg[512:].astype(cd_),
+                dimension_numbers=(((1,), (0,)), ((), ())))
+            local_contrib = image_ops.resampler(merged, img_points)
+            pred = sdfnet.apply_two_stream_prefold(
+                params["sdfprediction"], params["sdfprediction_imgfeat"],
+                pts_dec, g_contrib, local_contrib, cd_)
+            if cfg.tanh:
+                pred = jnp.tanh(pred)
+            end_points["pred_sdf"] = pred
+            return end_points
         local = sample_local_features(endpoints, img_points, cfg,
                                       fused=fused_sampling)
         end_points["point_img_feat"] = local

@@ -88,7 +88,11 @@ def make_train_step(cfg: Config, donate: bool = True):
     """
 
     def loss_fn(params, batch):
-        end_points = disn.apply(params, to_model_batch(batch), cfg)
+        # fold=True: folded-137 sampling (4 gather/scatter rows per point
+        # instead of 80) — the step measured sampling-bound, 3.6 -> ~17+
+        # steps/s at B=20 full width (see disn.apply fold docstring)
+        end_points = disn.apply(params, to_model_batch(batch), cfg,
+                                fold=True)
         gt = batch["sdf_val"] - cfg.iso_offset
         loss, losses = disn.get_loss(end_points, gt, params, cfg)
         return loss, losses
@@ -107,7 +111,8 @@ def make_eval_step(cfg: Config):
     """Jitted metric-only step (test/test_sdf_acc.py equivalent)."""
 
     def step(params: Params, batch: dict[str, jnp.ndarray]):
-        end_points = disn.apply(params, to_model_batch(batch), cfg)
+        end_points = disn.apply(params, to_model_batch(batch), cfg,
+                                fold=True)
         gt = batch["sdf_val"] - cfg.iso_offset
         _, losses = disn.get_loss(end_points, gt, params, cfg)
         return losses

@@ -114,6 +114,8 @@ def arm_with_loader(cfg, steps: int, root: str) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--json", default=None)
     ap.add_argument("--loader-root", default="/dev/shm/train_probe_ds")
     args = ap.parse_args()
@@ -126,10 +128,13 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from disn_tpu.config import Config
-    cfg = Config()  # full width, B=20, 2048 pts — the config of record
+    # full width, B=20, 2048 pts — the config of record; --dtype bfloat16
+    # measures the TPU-native training mode (bf16 compute, f32 params +
+    # loss — MXU accumulates f32 internally; CLAUDE.md training notes)
+    cfg = Config(compute_dtype=args.dtype)
     print(f"device {jax.devices()[0].device_kind}; B={cfg.batch_size}, "
-          f"{cfg.num_sample_points} pts, width_mult={cfg.width_mult}",
-          flush=True)
+          f"{cfg.num_sample_points} pts, width_mult={cfg.width_mult}, "
+          f"compute={cfg.compute_dtype}", flush=True)
     sps = arm_pure_step(cfg, args.steps)
     print(f"  pure-step : {sps:.1f} steps/s = "
           f"{sps * cfg.batch_size:.0f} samples/s", flush=True)
@@ -139,6 +144,7 @@ def main() -> int:
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"batch_size": cfg.batch_size,
+                       "compute_dtype": cfg.compute_dtype,
                        "num_sample_points": cfg.num_sample_points,
                        "pure_step_steps_per_s": sps,
                        "pure_step_samples_per_s": sps * cfg.batch_size,

@@ -299,3 +299,38 @@ def test_encode_uint8_matches_host_normalized(rng):
     for n in eps_u8:
         np.testing.assert_array_equal(np.asarray(eps_u8[n]),
                                       np.asarray(eps_f[n]))
+
+
+def test_apply_fold_matches_unfolded(rng):
+    """apply(fold=True) — the trainer's folded-137 sampling — must match
+    the reference-form graph in predictions AND gradients (the fold is
+    pure linear-algebra reassociation; see disn.apply docstring)."""
+    cfg = Config(num_classes=32, width_mult=0.125)
+    params = disn.init(cfg, rng)
+    rs = np.random.RandomState(0)
+    B, N = 2, 64
+    batch = {
+        "img": jnp.asarray(rs.rand(B, 137, 137, 3), jnp.float32),
+        "sample_pc": jnp.asarray(rs.uniform(-0.8, 0.8, (B, N, 3)),
+                                 jnp.float32),
+        "trans_mat": jnp.asarray(
+            np.stack([np.vstack([np.eye(3) * 60, [68.0, 68.0, 2.0]])] * B),
+            jnp.float32),
+    }
+    gt = jnp.asarray(rs.randn(B, N, 1) * 0.05, jnp.float32)
+
+    def loss(params, fold):
+        ep = disn.apply(params, batch, cfg, fold=fold)
+        return disn.get_loss(ep, gt, params, cfg)[0], ep["pred_sdf"]
+
+    (l0, p0), g0 = jax.value_and_grad(loss, has_aux=True)(params, False)
+    (l1, p1), g1 = jax.value_and_grad(loss, has_aux=True)(params, True)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat1, flat0):
+        scale = max(1e-3, float(np.abs(np.asarray(b)).max()))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale, rtol=2e-3)

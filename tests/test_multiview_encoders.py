@@ -149,3 +149,30 @@ def test_alexnet_npy_loader(tmp_path):
     # fc8 mismatched -> untouched
     np.testing.assert_array_equal(np.asarray(loaded["fc8"]["weights"]),
                                   np.asarray(params["fc8"]["weights"]))
+
+
+def test_multiview_sparse_matches_dense_mesh():
+    """The two-level sparse multiview volume must produce the SAME mesh as
+    the dense streamer (exact values inside the active band; coarse lerp
+    only where no crossing can exist), on a trained-shaped analytic field
+    so the band engages like production."""
+    from disn_tpu.data import synthetic
+    from disn_tpu.infer import pipeline
+
+    cfg = tiny_cfg(sdf_res=32, num_classes=64)
+    params = synthetic.analytic_octahedron_params(cfg, r=0.6)
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 256, size=(3, 137, 137, 3), dtype=np.uint8)
+    trans = np.stack([np.vstack([np.eye(3) * (50 + 10 * i),
+                                 [68.0, 68.0, 2.0]]) for i in range(3)]
+                     ).astype(np.float32)
+    sp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    dense_vol = multiview.multiview_sdf(params, imgs, trans, sp, cfg)
+    sparse_vol = multiview.multiview_sdf_sparse(params, imgs, trans, sp,
+                                                cfg)
+    assert sparse_vol is not None
+    dv, df = pipeline.volume_to_mesh(dense_vol, sp, iso=cfg.iso)
+    sv, sf = pipeline.volume_to_mesh(sparse_vol, sp, iso=cfg.iso)
+    assert len(df) > 100
+    np.testing.assert_array_equal(sf, df)
+    np.testing.assert_allclose(sv, dv, atol=1e-6)
