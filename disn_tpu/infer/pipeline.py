@@ -281,7 +281,8 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
             # futs layout [blk, rec_0.., tqc_0.., flags]
             futs = ([subs[1]] + [subs[2 + 2 * k] for k in range(C)]
                     + [subs[3 + 2 * k] for k in range(C)] + [subs[0]])
-            ctx.update(mode="cchunk", nvcap=nvcaps)
+            ctx.update(mode="cchunk", nvcap=nvcaps,
+                       cslots=[sz * batch_p for _, sz in bounds])
         else:
             rec_d, tq0, tq1, tq2, flags_d = \
                 marching_mod._records_masked_split(
@@ -289,7 +290,7 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
                     batch=batch_p, scalars=scalars)
             futs = marching_mod.records_submit(
                 (tq0, tq1, tq2, blk_d, rec_d, flags_d))
-            ctx.update(mode="masked", nvcap=None)
+            ctx.update(mode="masked", nvcap=None, cslots=None)
         # optimistic assembly: builds the mesh on a background thread as
         # soon as the fetches land — concurrently with the validation
         # scalars' round trip in _fused_collect, which then only accepts
@@ -303,7 +304,7 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         if optimistic:
             opt = marching_mod.records_assemble_speculative(
                 futs, sdf_params, cfg.grid_resolution, ctx["mode"],
-                ctx["nvcap"])
+                ctx["nvcap"], chunk_slots=ctx["cslots"])
         else:
             import threading
             opt = (_NoOptFuture(), threading.Event())

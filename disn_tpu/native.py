@@ -125,6 +125,48 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.derive_recs_range.restype = ctypes.c_int
+        lib.derive_recs_range.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.mesh_faces_blocks_incr.restype = ctypes.c_int64
+        lib.mesh_faces_blocks_incr.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+        ] + [ctypes.POINTER(ctypes.c_int32)] * 5 + [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mesh_verts_blocks_range.restype = ctypes.c_int64
+        lib.mesh_verts_blocks_range.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         lib.voxelize_sat.restype = None
         lib.voxelize_sat.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -215,6 +257,121 @@ def derive_recs(blk: np.ndarray, imask: np.ndarray, R: int,
     # an under-covering stream (rows encode more cells than slots) is
     # detected by the callers' mask-count-vs-slots checks, not here
     return out
+
+
+class BlockAssembler:
+    """Incremental (lag-1) record assembler for the CHUNKED compact stream:
+    feed each fetched rec/tqc chunk as it lands (in slot order) and the
+    faces pass advances through every block row whose forward 2x2x2
+    neighborhood is already covered, while verts for the chunk's slot range
+    are emitted immediately (they are slot-local). After the LAST chunk only
+    its own rows' faces + verts remain — the post-fetch assembly tail drops
+    from the full ~8 ms (at 351k tris) to the final chunk's share. Output is
+    bit-identical to mesh_faces_blocks + mesh_verts_blocks (same emission
+    order; pinned by tests/test_marching.py). finish() returns VIEWS into
+    the worst-case buffers (no tail memcpy); the buffers are per-image."""
+
+    def __init__(self, blk: np.ndarray, n_cells: int, total_slots: int,
+                 R: int, bbox: np.ndarray, nv_cap: int):
+        from disn_tpu.ops.marching import CORNERS, TETS, _owned_tables, \
+            _tables
+
+        self._lib = _load()
+        pair_i, pair_j, nb_tbl, dir_tbl = _owned_tables()
+        self.D = len(pair_i)
+        i32c = lambda a: np.ascontiguousarray(a, np.int32)  # noqa: E731
+        self._ftables = [i32c(CORNERS), i32c(TETS), i32c(_tables()[1]),
+                         i32c(nb_tbl), i32c(dir_tbl)]
+        self._vtables = [i32c(pair_i), i32c(pair_j), i32c(CORNERS)]
+        self._pair_j = i32c(pair_j)
+        bad = ((CORNERS[pair_i] | CORNERS[pair_j]) > 0)
+        self._bad = i32c((bad << np.arange(3)[None, :]).sum(1))
+        blk = np.ascontiguousarray(blk, np.int32)
+        self._bids = np.ascontiguousarray(blk[:, 0])
+        self._mlo = np.ascontiguousarray(blk[:, 1]).view(np.uint32)
+        self._mhi = np.ascontiguousarray(blk[:, 2]).view(np.uint32)
+        self._nrows = np.int32(len(blk))
+        self.n_cells = int(n_cells)
+        self.R = int(R)
+        self._bbox = np.ascontiguousarray(bbox, np.float32)
+        self.recs = np.empty(max(total_slots, 1), np.uint32)
+        self._pv = np.empty(max(n_cells, 1), np.uint64)
+        self._state = np.zeros(5, np.int64)
+        self._faces = np.empty((max(n_cells, 1) * 12, 3), np.int32)
+        self._verts = np.empty((max(nv_cap, 1), 3), np.float32)
+        self.nv = 0
+        self._avail = 0
+
+    def add_recs(self, rec_raw: np.ndarray, i0: int, i1: int) -> bool:
+        """Derive the chunk's records into the global array and advance the
+        faces pass to every row covered by [0, min(i1, n_cells)). Chunks
+        must arrive in slot order. False = corrupt input (caller bails to
+        the exact path)."""
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        dst = self.recs[i0:i1]
+        if rec_raw.dtype == np.uint8:
+            raw = np.ascontiguousarray(rec_raw)
+            self._lib.derive_recs_range(
+                self._bids.ctypes.data_as(i32p),
+                self._mlo.ctypes.data_as(u32p),
+                self._mhi.ctypes.data_as(u32p), self._nrows,
+                raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                np.int64(i0), np.int64(i1), np.int32(self.R),
+                np.int32(self.D), self._pair_j.ctypes.data_as(i32p),
+                self._bad.ctypes.data_as(i32p), dst.ctypes.data_as(u32p))
+        else:
+            dst[:] = rec_raw  # u16 (cross<<8|inside) ships whole (A/B arm)
+        self._avail = min(i1, self.n_cells)
+        ntri = self._lib.mesh_faces_blocks_incr(
+            self._bids.ctypes.data_as(i32p),
+            self._mlo.ctypes.data_as(u32p),
+            self._mhi.ctypes.data_as(u32p), self._nrows,
+            self.recs.ctypes.data_as(u32p), np.int32(self.n_cells),
+            np.int64(self._avail), np.int32(self.R), np.int32(self.D),
+            *[t.ctypes.data_as(i32p) for t in self._ftables],
+            self._pv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            self._state.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._faces.ctypes.data_as(i32p))
+        return ntri >= 0
+
+    def add_verts(self, tq_raw: np.ndarray, i0: int, nvcap_k: int
+                  ) -> int | None:
+        """Emit the verts for slots [i0, avail) from the chunk's compact
+        tqc stream (call after add_recs for the same chunk). Returns the
+        chunk's vertex count, or None when it exceeds nvcap_k (truncated
+        tqc — the device scatter dropped rows; caller bails)."""
+        tq = np.asarray(tq_raw)
+        if tq.dtype == np.uint8:  # exact u8 range map (marching._tq_bits)
+            tq = tq.astype(np.uint16) * np.uint16(257)
+        tq = np.ascontiguousarray(tq, np.uint16)
+        cap = min(int(nvcap_k), len(self._verts) - self.nv)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        out = self._verts[self.nv:]
+        got = self._lib.mesh_verts_blocks_range(
+            self._bids.ctypes.data_as(i32p),
+            self._mlo.ctypes.data_as(u32p),
+            self._mhi.ctypes.data_as(u32p), self._nrows,
+            self.recs[i0:].ctypes.data_as(u32p),
+            tq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            np.int32(1), np.int64(i0), np.int64(self._avail),
+            np.int32(self.R), np.int32(self.D), np.int64(max(cap, 0)),
+            *[t.ctypes.data_as(i32p) for t in self._vtables],
+            self._bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if got < 0:
+            return None
+        self.nv += int(got)
+        return int(got)
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """(verts, faces) views once every chunk is in; None if the faces
+        pass could not complete (records under-cover the scan)."""
+        if self._avail < self.n_cells or self._state[1] < self.n_cells:
+            return None
+        return (self._verts[:self.nv],
+                self._faces[:int(self._state[2])])
 
 
 def mesh_faces_blocks(blk: np.ndarray, recs: np.ndarray, n_cells: int,

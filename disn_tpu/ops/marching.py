@@ -1751,8 +1751,12 @@ def _get_asm_pool():
     return _ASM_POOL
 
 
+_INCR_ASM = True  # lag-1 chunk-incremental speculative assembly (A/B knob)
+
+
 def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
-                                 nvcap: int | None = None):
+                                 nvcap: int | None = None,
+                                 chunk_slots=None):
     """OPTIMISTIC assembly, submitted while the validation scalars are
     still crossing the tunnel: everything assembly needs is derivable from
     the fetched buffers themselves — the device zeroes record slots past
@@ -1775,7 +1779,54 @@ def records_assemble_speculative(futs, sdf_params, R: int, mode: str,
 
     blk_f, recs_join, tq_join, chunk_nvs = _records_parts(futs, mode, R)
 
+    def work_incr():
+        """Chunk-incremental cchunk assembly (native.BlockAssembler): each
+        landed chunk advances the faces pass over every row whose forward
+        neighborhood is covered (lag-1) and emits its verts immediately, so
+        after the LAST stream lands only that chunk's rows remain — the
+        post-fetch tail drops from the whole faces+verts cost to its final
+        share. Bit-identical output (same emission order)."""
+        from disn_tpu import native
+        c = (len(futs) - 2) // 2
+        rec_fs = futs[1:1 + c]
+        tq_fs = futs[1 + c:1 + 2 * c]
+        blk_np = futs[0].result()
+        if cancel.is_set():
+            return None
+        n = _mask_cell_count(blk_np)
+        total = int(sum(chunk_slots))
+        if n > total:  # slots under-covered the scan: bail to exact re-run
+            return None
+        asm = native.BlockAssembler(blk_np, n, total, R, sdf_f,
+                                    int(sum(nvcap)))
+        i0 = 0
+        nv = 0
+        for k in range(c):
+            raw = rec_fs[k].result()
+            if cancel.is_set():
+                return None
+            i1 = i0 + int(chunk_slots[k])
+            if len(raw) != i1 - i0:  # dispatch-plan / stream mismatch
+                return None
+            if not asm.add_recs(raw, i0, i1):
+                return None
+            nv_k = asm.add_verts(tq_fs[k].result(), i0, nvcap[k])
+            if nv_k is None:  # chunk tqc truncated (nv_k > its cap)
+                return None
+            nv += nv_k
+            i0 = i1
+        out = asm.finish()
+        if out is None:
+            return None
+        verts, faces = out
+        return verts, faces, n, nv
+
     def work():
+        if mode == "cchunk" and chunk_slots is not None and _INCR_ASM:
+            try:
+                return work_incr()
+            except (OSError, CalledProcessError):
+                pass  # no native toolchain: the join-all path below
         # join-all-first for masked/compact, even with spare cores: the C
         # passes vs the in-flight fetch threads measured 11 -> 130-370 ms
         # under single-core contention (3 x ~200 KB tq streams in flight).

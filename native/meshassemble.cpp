@@ -503,6 +503,276 @@ int64_t mesh_verts(const int32_t* ids, const uint32_t* recs,
   return nv;
 }
 
+// ---- incremental (lag-1) variants for chunk-overlapped assembly ----
+//
+// The chunked record stage's fetch streams land one after another (chunk k
+// completes on-device ~2 ms before chunk k+1); the join-all-then-assemble
+// flow leaves the WHOLE faces+verts cost (~8 ms at 351k tris) serial after
+// the last stream. These variants process each chunk as it lands: verts are
+// slot-local (lag 0), faces resume row by row as soon as every neighbor row's
+// records are available (lag 1 in practice — a cell's neighbors have ids at
+// most R^2+R+1 larger, a few hundred slots at production densities). After
+// the last chunk lands only ITS faces/verts remain. Emission order is
+// identical to the one-shot passes, so the output is bit-identical.
+
+// Derive records for the slot range [i0, i1): imask/out are CHUNK-LOCAL
+// (slot i at index i-i0). Same semantics as derive_recs otherwise.
+int derive_recs_range(const int32_t* bids, const uint32_t* mlo,
+                      const uint32_t* mhi, int32_t n_rows,
+                      const uint8_t* imask, int64_t i0, int64_t i1,
+                      int32_t R, int32_t D, const int32_t* pair_j,
+                      const int32_t* bad, uint32_t* out) {
+  const int64_t E = R;
+  const int S = 4;
+  const int64_t B3 = (E + S - 1) / S;
+  int64_t i = 0;
+  for (int32_t r = 0; r < n_rows && i < i1; ++r) {
+    uint64_t m = (uint64_t)mlo[r] | ((uint64_t)mhi[r] << 32);
+    if (!m) continue;
+    const int pc = __builtin_popcountll(m);
+    if (i + pc <= i0) {  // row entirely before the range: skip
+      i += pc;
+      continue;
+    }
+    const int64_t bid = bids[r];
+    const int64_t bx = (bid % B3) * S;
+    const int64_t by = ((bid / B3) % B3) * S;
+    const int64_t bz = (bid / (B3 * B3)) * S;
+    for (; m && i < i1; m &= m - 1, ++i) {
+      if (i < i0) continue;
+      const int li = __builtin_ctzll(m);
+      const uint32_t ghost = ((bx + li % S == E - 1) ? 1u : 0u) |
+                             ((by + (li / S) % S == E - 1) ? 2u : 0u) |
+                             ((bz + li / (S * S) == E - 1) ? 4u : 0u);
+      const uint32_t inside = imask[i - i0];
+      uint32_t cross = 0;
+      for (int d = 0; d < D; ++d) {
+        if ((uint32_t)bad[d] & ghost) continue;
+        if ((inside & 1u) != ((inside >> pair_j[d]) & 1u)) cross |= 1u << d;
+      }
+      out[i - i0] = (cross << 8) | inside;
+    }
+  }
+  if (i < i0) i = i0;
+  for (; i < i1; ++i) out[i - i0] = imask[i - i0];  // slots past the cells
+  return 0;
+}
+
+// Resumable faces pass: emits triangles for every block row whose full
+// 2x2x2 forward neighborhood has records below `avail`, then stops and
+// saves its position. state[5] (caller zero-inits): [0] next row index
+// (over the COMPACTED nonzero rows), [1] next slot, [2] ntri so far,
+// [3] pv fill watermark, [4] running vertex count at the watermark.
+// pv is a caller-allocated uint64[n_cells] scratch persisted across calls
+// (packed vertex bases, as mesh_faces_blocks). Returns ntri-so-far, or
+// -1/-2 on corrupt input. Call with avail == n_cells to finish.
+int64_t mesh_faces_blocks_incr(
+    const int32_t* bids, const uint32_t* mlo, const uint32_t* mhi,
+    int32_t n_blocks, const uint32_t* recs, int32_t n_cells, int64_t avail,
+    int32_t R, int32_t D, const int32_t* corners, const int32_t* tets,
+    const int32_t* counts_tbl, const int32_t* nb_tbl, const int32_t* dir_tbl,
+    uint64_t* pv, int64_t* state, int32_t* out_faces) {
+  const int64_t E = R;
+  const int S = 4, s2 = 16;
+  const int64_t B3 = (E + S - 1) / S;
+  if (avail > n_cells) avail = n_cells;
+
+  // compact the nonzero rows (cheap: one sweep over ~2k rows per call)
+  std::vector<int32_t> cbid;
+  std::vector<int32_t> cbase;
+  std::vector<uint64_t> cmask64;
+  cbid.reserve(n_blocks);
+  cbase.reserve(n_blocks);
+  cmask64.reserve(n_blocks);
+  {
+    int64_t base = 0, prev = -1;
+    for (int32_t b = 0; b < n_blocks; ++b) {
+      const uint64_t m = (uint64_t)mlo[b] | ((uint64_t)mhi[b] << 32);
+      if (!m) continue;
+      if (bids[b] <= prev) return -2;
+      prev = bids[b];
+      cbid.push_back(bids[b]);
+      cbase.push_back((int32_t)base);
+      cmask64.push_back(m);
+      base += __builtin_popcountll(m);
+    }
+    if (base != n_cells) return -2;
+  }
+  const int32_t nb_rows = (int32_t)cbid.size();
+  auto find_row = [&](int64_t bid) -> int32_t {
+    auto it = std::lower_bound(cbid.begin(), cbid.end(), (int32_t)bid);
+    if (it == cbid.end() || *it != (int32_t)bid) return -1;
+    return (int32_t)(it - cbid.begin());
+  };
+  auto row_end = [&](int32_t r) -> int64_t {
+    return cbase[r] + __builtin_popcountll(cmask64[r]);
+  };
+
+  uint8_t caze_lut[6][256];
+  for (int t = 0; t < 6; ++t)
+    for (int m = 0; m < 256; ++m) {
+      int caze = 0;
+      for (int j = 0; j < 4; ++j) caze |= (m >> tets[t * 4 + j] & 1) << j;
+      caze_lut[t][m] = (uint8_t)caze;
+    }
+
+  // extend the packed vertex bases over the newly available records
+  {
+    int64_t nv = state[4];
+    for (int64_t i = state[3]; i < avail; ++i) {
+      const uint32_t cm = recs[i] >> 8;
+      uint64_t nib = 0;
+      int rank = 0;
+      for (int d = 0; d < D; ++d) {
+        nib |= (uint64_t)rank << (4 * d);
+        rank += cm >> d & 1u;
+      }
+      pv[i] = ((uint64_t)nv << 28) | nib;
+      nv += rank;
+    }
+    if (avail > state[3]) {
+      state[3] = avail;
+      state[4] = nv;
+    }
+  }
+
+  int64_t ntri = state[2];
+  int32_t adj[8];
+  int32_t nslot[8];
+  int32_t row = (int32_t)state[0];
+  int64_t i = state[1];
+  for (; row < nb_rows; ++row) {
+    if (row_end(row) > avail) break;  // own records incomplete
+    const int64_t bid = cbid[row];
+    const int64_t bz = bid / (B3 * B3), by = (bid / B3) % B3, bx = bid % B3;
+    // resolve the full forward 2x2x2 neighborhood up front; stop if any
+    // existing neighbor row's records are not yet available
+    bool safe = true;
+    adj[0] = row;
+    for (int a8 = 1; a8 < 8; ++a8) {
+      const int sx = a8 & 1, sy = (a8 >> 1) & 1, sz = (a8 >> 2) & 1;
+      const int32_t r2 =
+          find_row(((bz + sz) * B3 + (by + sy)) * B3 + (bx + sx));
+      adj[a8] = r2;
+      if (r2 >= 0 && row_end(r2) > avail) {
+        safe = false;
+        break;
+      }
+    }
+    if (!safe) break;
+    const int64_t gx0 = bx * S, gy0 = by * S, gz0 = bz * S;
+    for (uint64_t mm = cmask64[row]; mm; mm &= mm - 1, ++i) {
+      const int l = __builtin_ctzll(mm);
+      const int lz = l / s2, ly = (l / S) % S, lx = l % S;
+      const int64_t cx = gx0 + lx, cy = gy0 + ly, cz = gz0 + lz;
+      if (cx > R - 2 || cy > R - 2 || cz > R - 2) continue;  // ghost cell
+      const uint32_t inside = recs[i] & 0xffu;
+      for (int c8 = 0; c8 < 8; ++c8) nslot[c8] = -3;
+      nslot[0] = (int32_t)i;
+      for (int t = 0; t < 6; ++t) {
+        const int caze = caze_lut[t][inside];
+        const int nt = counts_tbl[t * 16 + caze];
+        const int32_t* nb_e = nb_tbl + ((int64_t)t * 16 + caze) * 6;
+        const int32_t* dir_e = dir_tbl + ((int64_t)t * 16 + caze) * 6;
+        for (int k = 0; k < nt; ++k) {
+          for (int v = 0; v < 3; ++v) {
+            const int e = k * 3 + v;
+            const int nbc = nb_e[e];
+            int32_t s = nslot[nbc];
+            if (s == -3) {
+              const int32_t* off = corners + 3 * nbc;
+              const int nx = lx + off[0], ny = ly + off[1], nz = lz + off[2];
+              const int a8 = (nx >> 2) + 2 * (ny >> 2) + 4 * (nz >> 2);
+              const int32_t r2 = adj[a8];
+              s = -1;
+              if (r2 >= 0) {
+                const int nb_bit = (nz & 3) * s2 + (ny & 3) * S + (nx & 3);
+                const uint64_t m2 = cmask64[r2];
+                if (m2 >> nb_bit & 1u)
+                  s = cbase[r2]
+                      + __builtin_popcountll(m2
+                                             & (((uint64_t)1 << nb_bit) - 1));
+              }
+              nslot[nbc] = s;
+            }
+            if (s < 0) return -1;
+            const uint64_t p = pv[s];
+            out_faces[ntri * 3 + v] =
+                (int32_t)((p >> 28) + (p >> (4 * dir_e[e]) & 15u));
+          }
+          ++ntri;
+        }
+      }
+    }
+  }
+  state[0] = row;
+  state[1] = i;
+  state[2] = ntri;
+  return ntri;
+}
+
+// Verts for the slot range [i0, i1): recs is CHUNK-LOCAL (slot i at
+// recs[i-i0]); in compact mode tq is the chunk's own crossing-only stream
+// (local vertex order). out_verts starts at the range's first vertex (the
+// caller offsets by the global vertex prefix). Returns the range's vertex
+// count, or -1 when it would exceed cap.
+int64_t mesh_verts_blocks_range(
+    const int32_t* bids, const uint32_t* mlo, const uint32_t* mhi,
+    int32_t n_blocks, const uint32_t* recs, const uint16_t* tq,
+    int32_t compact, int64_t i0, int64_t i1, int32_t R, int32_t D,
+    int64_t cap, const int32_t* pair_i, const int32_t* pair_j,
+    const int32_t* corners, const float* bbox, float* out_verts) {
+  const int64_t E = R;
+  const int S = 4, s2 = 16;
+  const int64_t B3 = (E + S - 1) / S;
+  const double lo[3] = {bbox[0], bbox[1], bbox[2]};
+  const double span[3] = {bbox[3] - bbox[0], bbox[4] - bbox[1],
+                          bbox[5] - bbox[2]};
+  const double inv = 1.0 / (R - 1);
+  int64_t nv = 0;
+  int64_t i = 0;
+  for (int32_t b = 0; b < n_blocks && i < i1; ++b) {
+    const uint64_t m = (uint64_t)mlo[b] | ((uint64_t)mhi[b] << 32);
+    if (!m) continue;
+    const int pc = __builtin_popcountll(m);
+    if (i + pc <= i0) {
+      i += pc;
+      continue;
+    }
+    const int64_t bid = bids[b];
+    const int64_t bz = bid / (B3 * B3), by = (bid / B3) % B3, bx = bid % B3;
+    const int64_t gx0 = bx * S, gy0 = by * S, gz0 = bz * S;
+    for (uint64_t mm = m; mm && i < i1; mm &= mm - 1, ++i) {
+      if (i < i0) continue;
+      const int l = __builtin_ctzll(mm);
+      const int64_t cx = gx0 + l % S, cy = gy0 + (l / S) % S,
+                    cz = gz0 + l / s2;
+      const uint32_t cross = recs[i - i0] >> 8;
+      for (int d = 0; d < D; ++d) {
+        if (!(cross >> d & 1u)) continue;
+        if (nv >= cap) return -1;
+        const int32_t* oi = corners + 3 * pair_i[d];
+        const int32_t* oj = corners + 3 * pair_j[d];
+        const double t =
+            (compact ? tq[nv] : tq[(i - i0) * D + d]) * (1.0 / 65535.0);
+        const int64_t gi[3] = {std::min(cx + oi[0], E - 1),
+                               std::min(cy + oi[1], E - 1),
+                               std::min(cz + oi[2], E - 1)};
+        const int64_t gj[3] = {std::min(cx + oj[0], E - 1),
+                               std::min(cy + oj[1], E - 1),
+                               std::min(cz + oj[2], E - 1)};
+        for (int a = 0; a < 3; ++a) {
+          const double pi = lo[a] + gi[a] * inv * span[a];
+          const double pj = lo[a] + gj[a] * inv * span[a];
+          out_verts[nv * 3 + a] = (float)(pi + t * (pj - pi));
+        }
+        ++nv;
+      }
+    }
+  }
+  return nv;
+}
+
 // Derive the u32 (cross<<8 | inside) records from the fetched u8
 // inside-mask stream (host mirror of ops/marching._records_from_words):
 // all owned edges share corner 0, so cross bit d is just "corner 0's

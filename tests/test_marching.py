@@ -401,6 +401,24 @@ def test_records_cchunk_matches_masked():
         futs, PARAMS, R, "cchunk", bad_caps)
     assert fut.result() is None
 
+    # chunk-INCREMENTAL speculative (lag-1 faces / per-chunk verts via
+    # native.BlockAssembler): bit-identical mesh, and the same cap bail
+    cslots = [sz * batch for _, sz in bounds]
+    fut, cancel = marching.records_assemble_speculative(
+        futs, PARAMS, R, "cchunk", nvcaps, chunk_slots=cslots)
+    verts, faces, n_o, nv_o = fut.result()
+    assert (n_o, nv_o) == (nc, nv)
+    np.testing.assert_array_equal(faces, ef)
+    np.testing.assert_array_equal(verts, ev)
+    fut, cancel = marching.records_assemble_speculative(
+        futs, PARAMS, R, "cchunk", bad_caps, chunk_slots=cslots)
+    assert fut.result() is None
+    # under-coverage bail: chunk slots below the scan's cell count
+    fut, cancel = marching.records_assemble_speculative(
+        futs, PARAMS, R, "cchunk", nvcaps,
+        chunk_slots=[max(0, nc - 8)] + [0] * (len(cslots) - 1))
+    assert fut.result() is None
+
 
 def test_speculative_assembly_self_checks():
     """records_assemble_speculative derives n_cells/nv from the fetched
