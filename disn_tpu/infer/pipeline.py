@@ -100,10 +100,11 @@ _SHRINK_STREAK = 12
 
 def _merge_nvc(nvc_p, nvc):
     """Elementwise-ratcheted per-chunk nv prediction; boundaries (n_iter,
-    batch) must match or the stored chunk counts are meaningless."""
-    if nvc_p is None or nvc is None or nvc_p[:2] != nvc[:2]:
+    batch, chunk bounds) must match or the stored counts are meaningless
+    (the bounds can change under the _CHUNK_DESC knob)."""
+    if nvc_p is None or nvc is None or nvc_p[:3] != nvc[:3]:
         return nvc
-    return (*nvc[:2], tuple(max(a, b) for a, b in zip(nvc_p[2], nvc[2])))
+    return (*nvc[:3], tuple(max(a, b) for a, b in zip(nvc_p[3], nvc[3])))
 
 
 def _update_pred(key, nb: int, ni: int, nv: int | None, nvc=None) -> None:
@@ -242,8 +243,9 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
         _, _, _, _, count, esc_a = ctx["pa"]
         scalars = (count, esc_a, esc_b, ncd, gov_d)
         if (nv_p is not None and cfg.compact_tq and nvc_p is not None
-                and nvc_p[:2] == (ni_p, batch_p) and optimistic
-                and len(nvc_p[2]) == len(marching_mod._chunk_bounds(ni_p))):
+                and optimistic and nvc_p[:3] == (
+                    ni_p, batch_p,
+                    tuple(marching_mod._chunk_bounds(ni_p)))):
             # CHUNKED COMPACT only for latency callers (optimistic=True,
             # i.e. single-image): its extra per-image host CPU (5 more jit
             # dispatches + 7 more fetch submissions + chunk joins, ~+16 ms
@@ -262,7 +264,7 @@ def _fused_dispatch(params: Params, img: np.ndarray, trans_mat: np.ndarray,
             # last tiny jit emits from the chunk scalars)
             words = marching_mod._dense_words_jit(vol, iso=float(iso))
             bounds = marching_mod._chunk_bounds(ni_p)
-            nvcaps = tuple(_nvcap_of(nvk) for nvk in nvc_p[2])
+            nvcaps = tuple(_nvcap_of(nvk) for nvk in nvc_p[3])
             parts = [blk_d]
             nv_ds = []
             for k, (s, sz) in enumerate(bounds):
@@ -364,7 +366,8 @@ def _fused_collect(ctx: dict, defer: bool = False
                      marching_mod.records_n_iter(
                          int(ids.shape[0]), nc, batch)[0],
                      nv if covered else None,
-                     (ni_p, batch_p, tuple(nvks))
+                     (ni_p, batch_p,
+                      tuple(marching_mod._chunk_bounds(ni_p)), tuple(nvks))
                      if covered and nvks else None)
         if nb_p >= _exact_blocks(c, sizes):
             # prediction covered the work: the speculative results are the

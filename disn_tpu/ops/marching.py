@@ -1208,21 +1208,37 @@ def _compact_tq(rec: jnp.ndarray, tq: jnp.ndarray, nvcap: int
 _REC_CHUNKS = 4  # fetch-overlap chunk count for the record stage
 
 
+_CHUNK_DESC = False  # descending (halving) chunk sizes vs near-equal (A/B)
+
+
 def _chunk_bounds(n_iter: int, c: int | None = None
                   ) -> list[tuple[int, int]]:
     """Split n_iter record batches into <= c (default _REC_CHUNKS, read at
-    call time so probes can A/B the count) near-equal contiguous chunks:
-    [(start_iter, n_iters), ...]. Slot ranges are start*batch-based."""
+    call time so probes can A/B the count) contiguous chunks:
+    [(start_iter, n_iters), ...]. Slot ranges are start*batch-based.
+
+    _CHUNK_DESC=True halves sizes (20 iters -> [10, 5, 3, 2]) on the
+    theory that the LAST chunk sits on the critical path; the interleaved
+    TPU A/B (scripts/probe_ab_desc.py, round 5) measured it a clear LOSS —
+    149.3 vs 107.2 ms median — because the fat first chunk delays every
+    downstream fetch start and halves early stream concurrency (the
+    >=4-stream aggregate-bandwidth law). Near-equal stays the default."""
     if c is None:
         c = _REC_CHUNKS
     c = max(1, min(c, n_iter))
-    base, rem = divmod(n_iter, c)
     out = []
     s = 0
+    rem = n_iter
     for k in range(c):
-        sz = base + (1 if k < rem else 0)
+        if _CHUNK_DESC:
+            sz = rem if k == c - 1 else max(1, min(-(-rem // 2),
+                                                   rem - (c - 1 - k)))
+        else:
+            base, r = divmod(n_iter, c)
+            sz = base + (1 if k < r else 0)
         out.append((s, sz))
         s += sz
+        rem -= sz
     return out
 
 

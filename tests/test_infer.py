@@ -392,13 +392,18 @@ def test_spec_cache_hysteresis():
     assert pipeline._SPEC_CACHE[key] == (8, 4, 100, 0, None)
     # per-chunk nv predictions ratchet elementwise at matching bounds and
     # reset on a bounds change (chunk counts at other bounds are garbage)
-    pipeline._update_pred(key, 8, 4, 100, (4, 1024, (10, 40, 30, 5)))
-    assert pipeline._SPEC_CACHE[key][4] == (4, 1024, (10, 40, 30, 5))
-    pipeline._update_pred(key, 8, 4, 100, (4, 1024, (20, 15, 35, 6)))
-    assert pipeline._SPEC_CACHE[key][4] == (4, 1024, (20, 40, 35, 6))
+    b4 = ((0, 1), (1, 1), (2, 1), (3, 1))
+    pipeline._update_pred(key, 8, 4, 100, (4, 1024, b4, (10, 40, 30, 5)))
+    assert pipeline._SPEC_CACHE[key][4] == (4, 1024, b4, (10, 40, 30, 5))
+    pipeline._update_pred(key, 8, 4, 100, (4, 1024, b4, (20, 15, 35, 6)))
+    assert pipeline._SPEC_CACHE[key][4] == (4, 1024, b4, (20, 40, 35, 6))
     assert pipeline._SPEC_CACHE[key][3] == 1  # held-up counts = a streak
-    pipeline._update_pred(key, 8, 4, 100, (8, 1024, (1, 2, 3, 4)))
-    assert pipeline._SPEC_CACHE[key][4] == (8, 1024, (1, 2, 3, 4))
+    # a chunk-bounds change (e.g. the _CHUNK_DESC knob) resets the counts
+    b4b = ((0, 2), (2, 1), (3, 1))
+    pipeline._update_pred(key, 8, 4, 100, (4, 1024, b4b, (1, 2, 3)))
+    assert pipeline._SPEC_CACHE[key][4] == (4, 1024, b4b, (1, 2, 3))
+    pipeline._update_pred(key, 8, 4, 100, (8, 1024, b4, (1, 2, 3, 4)))
+    assert pipeline._SPEC_CACHE[key][4] == (8, 1024, b4, (1, 2, 3, 4))
     # an uncovered image (nv unknown) downgrades the nv prediction so the
     # next image re-learns it on the masked stream
     pipeline._update_pred(key, 8, 4, None)
