@@ -151,6 +151,42 @@ def test_alexnet_npy_loader(tmp_path):
                                   np.asarray(params["fc8"]["weights"]))
 
 
+def test_multiview_folded_matches_general():
+    """tf1 sampling folds each view's endpoint pyramid + the local fold2
+    matmul into one per-view 137-space map and averages the SAMPLES
+    (linearity of the fold + the mean, infer/multiview._mv_prep); the
+    result must match the general per-view concat path up to float
+    summation order."""
+    from disn_tpu.core import grids
+    from disn_tpu.infer.dense import scale_pred
+
+    cfg = tiny_cfg(sampling="tf1")
+    assert multiview._use_fold(cfg)
+    params = disn.init(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.rand(2, 137, 137, 3).astype(np.float32))
+    trans = jnp.asarray(np.stack(
+        [np.vstack([np.eye(3) * (50 + 10 * i), [68.0, 68.0, 2.0]])
+         for i in range(2)]).astype(np.float32))
+    sp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    pts = grids.grid_block(jnp.asarray(sp), cfg.grid_resolution, 0, 128)
+
+    state = multiview._mv_prep(params, imgs, cfg)
+    assert state[1] is not None  # folded
+    folded = multiview._mv_decode(params, state, trans, pts, cfg)
+
+    embeddings, endpoints = disn.encode(params, imgs, cfg)
+    local = multiview.fused_point_features(endpoints, pts, trans, cfg)
+    pred = disn.decode_from_features(
+        params, pts[None], jnp.mean(embeddings, 0, keepdims=True),
+        local[None], cfg)
+    if cfg.tanh:
+        pred = jnp.tanh(pred)
+    general = scale_pred(pred, cfg)[0]
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(general),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_multiview_sparse_matches_dense_mesh():
     """The two-level sparse multiview volume must produce the SAME mesh as
     the dense streamer (exact values inside the active band; coarse lerp
