@@ -142,6 +142,14 @@ class Config:
     # the surface crosses — see infer/sparse.py and
     # tests/test_infer.py::test_steep_field_autocal (round-2 verdict #2)
     cell_cap_frac: float = 0.25      # active-cell cap / total coarse cells
+    sparse_words: bool = True        # build the record words + change-bit
+    # scan DIRECTLY from the fine kernel's per-cell output (5^3 halo
+    # patches, ops/marching._sparse_cell_words): the dense [R^3] volume —
+    # and its ~7 ms per-point value scatter, ~2 ms full-volume change
+    # sweep, ~1 ms upsample at 257^3 — never materializes on the fused
+    # latency path. Boundary-touching actives and band violations fall
+    # back to the dense flow via the gov guard; False forces the dense
+    # flow everywhere (A/B + exact-twin testing)
     compact_tq: bool = True          # once the speculation cache has
     # learned a vertex-count prediction, ship only the CROSSING edges' t
     # parameters (vertex order, ~nv bytes) instead of the full [slots, D]

@@ -419,6 +419,63 @@ def _phase_b_mesh_jit(cfg, stride, block, cell_cap_frac, band_factor,
     return fn
 
 
+@functools.lru_cache(maxsize=128)
+def _phase_b_mesh_sparse_jit(cfg, stride, block, cell_cap_frac, band_factor,
+                             n_blocks: int, iso: float, bcap: int):
+    """SPARSE-WORDS phase_b+scan (round 5): the fine kernel's [n_kcells*64]
+    output feeds the record words and the change-bit scan DIRECTLY
+    (ops/marching._sparse_cell_words) — the dense [R^3] volume, its
+    ~1.15M-row per-point value scatter (~7 ms at 257^3, the biggest
+    non-roofline device item), the full-volume sign-change sweep and the
+    upsample never run. Returns (words, esc_b, sids, n_cells, g_over, blk)
+    where sids address the words arrays (slot*64+bit) and blk is the
+    unchanged host-facing block stream.
+
+    Boundary-touching actives and band-premise violations flip g_over
+    (guard inside _sparse_cell_words + n_boundary here): the caller falls
+    back to the exact path, mirroring the dense flow's missed-change
+    guard. Requires the fused kernel (callers gate on kernel_enabled)."""
+    from disn_tpu.infer import fused as fused_mod
+    from disn_tpu.ops import marching
+
+    fine_r = cfg.grid_resolution
+    coarse_cfg = _coarse_grid_cfg(cfg, stride)
+    rc = coarse_cfg.grid_resolution
+    c = rc - 1
+    pts_per_cell = stride ** 3
+    blk_sz = max(pts_per_cell, (block // pts_per_cell) * pts_per_cell)
+    cells_per_block = blk_sz // pts_per_cell
+    n_kcells = n_blocks * cells_per_block
+
+    @jax.jit
+    def fn(params, embedding, endpoints, vol_c, cell_ids, count,
+           trans_mat, sdf_params):
+        kcells = cell_ids[:n_kcells]
+        vals, esc_b = fused_mod.decode_cells(
+            params, endpoints, trans_mat, sdf_params, kcells, cfg,
+            fine_r=fine_r, coarse_c=c)
+        kcount = jnp.minimum(count, n_kcells)
+        words, bits, cand, own_tbl, guard = marching._sparse_cell_words(
+            vals, kcells, kcount, vol_c, stride=stride, R=fine_r,
+            iso=iso)
+        # boundary actives leave the patch model (ghost blocks / exact
+        # planes): ride the guard. Computed over the FULL active list so
+        # an under-covered bucket cannot hide a boundary cell (the
+        # under-covered run is discarded by the collect step anyway).
+        kcz = cell_ids // (c * c)
+        kcy = (cell_ids // c) % c
+        kcx = cell_ids % c
+        slot_ok = jnp.arange(cell_ids.shape[0], dtype=jnp.int32) < count
+        n_boundary = jnp.sum((slot_ok & ((kcx == c - 1) | (kcy == c - 1)
+                                         | (kcz == c - 1))).astype(jnp.int32))
+        sids, n_cells, g_over, blk = marching._compact_block_bits(
+            bits, cand, bcap=bcap, E=fine_r, S=stride, B3=c + 1,
+            guard=guard + n_boundary, srow_tbl=own_tbl)
+        return tuple(words), esc_b, sids, n_cells, g_over, blk
+
+    return fn
+
+
 def _pow2(n: int) -> int:
     out = 1
     while out < n:

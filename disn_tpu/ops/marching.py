@@ -679,6 +679,39 @@ def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
     # edge-pad == the ghost shell's min-clamp onto boundary actives
     cand = jnp.pad(act.reshape(cgrid, cgrid, cgrid), ((0, 1),) * 3,
                    mode="edge").reshape(-1)
+    # correctness guard for fields that violate the band/Lipschitz premise:
+    # any change cell OUTSIDE the candidate blocks flips the overflow flag
+    # and the caller falls back to the full-volume scan — results are
+    # always correct, the candidate scan is only ever a fast path. (The
+    # change-block cap bcap//2 rides the same flag: candidate bands are
+    # 4-5x thicker than the crossing slab, so a 2x margin holds unless the
+    # field is pathologically wiggly — then the fallback, not silence.)
+    total_change = jnp.sum(change)
+    return _compact_block_bits(bits, cand, bcap=bcap, E=E, S=S, B3=B3,
+                               total_change=total_change)
+
+
+def _compact_block_bits(bits: jnp.ndarray, cand: jnp.ndarray, *, bcap: int,
+                        E: int, S: int, B3: int,
+                        total_change: jnp.ndarray | None = None,
+                        guard: jnp.ndarray | None = None,
+                        srow_tbl: jnp.ndarray | None = None):
+    """Shared change-block compaction + slot-id expansion (the tail of
+    _active_cells_from_coarse, factored so the sparse-words scan emits the
+    bit-identical slot sequence). `bits` [B3^3, 2] packed change bits;
+    `cand` [B3^3] bool candidate blocks.
+
+    Exactly one of total_change/guard supplies the soundness flag:
+    total_change (dense flow) counts changes missed by the candidate set;
+    guard (sparse flow) is the caller's precomputed equivalent (coarse
+    mixed-sign non-active cells + kernel-vs-lerp low-face sign mismatches
+    + boundary actives — see infer/sparse._phase_b_mesh_sparse_jit).
+
+    srow_tbl (sparse flow): [c^3] coarse-cell -> kernel-slot owner table;
+    the emitted ids are then SPARSE row ids (slot*64 + bit) addressing the
+    [n_kcells*64] words arrays instead of flat E^3 cell ids (the device
+    ids never reach the host — assemblers expand E^3 ids from the blk
+    stream, which is identical in both flows)."""
     sel = cand & ((bits[:, 0] | bits[:, 1]) != 0)
     b2cap = max(512, -(-(bcap // 2) // 256) * 256)
     bcs = jnp.cumsum(sel.astype(jnp.int32))
@@ -698,30 +731,35 @@ def _active_cells_from_coarse(volume: jnp.ndarray, coarse_ids: jnp.ndarray,
     cs = jnp.cumsum(flat)
     cap = b2cap * S ** 3
     cidx = jnp.where(flat > 0, cs - 1, cap)
-    # block-level decomposition + a static in-block offset vector: integer
-    # div/mod over the slot space measured ~several ms at 257^3
     bz = bids // (B3 * B3)
     by = (bids // B3) % B3
     bx = bids % B3
-    base = ((bz * S) * E + by * S) * E + bx * S               # [b2cap]
-    l = np.arange(S ** 3, dtype=np.int32)
-    loff = jnp.asarray(((l // (S * S)) * E + ((l // S) % S)) * E + l % S)
+    if srow_tbl is None:
+        # block-level decomposition + a static in-block offset vector:
+        # integer div/mod over the slot space measured ~several ms at 257^3
+        base = ((bz * S) * E + by * S) * E + bx * S           # [b2cap]
+        l = np.arange(S ** 3, dtype=np.int32)
+        loff = jnp.asarray(((l // (S * S)) * E + ((l // S) % S)) * E
+                           + l % S)
+    else:
+        c = B3 - 1
+        # ghost blocks (coord == c) are never selected in the sparse flow
+        # (their bits are never scattered; boundary actives flip the guard
+        # first) — clamp keeps padded rows' arithmetic in range
+        cid = (jnp.minimum(bz, c - 1) * c + jnp.minimum(by, c - 1)) * c \
+            + jnp.minimum(bx, c - 1)
+        base = jnp.maximum(jnp.take(srow_tbl, cid), 0) * (S ** 3)
+        loff = jnp.arange(S ** 3, dtype=jnp.int32)
     eid = (base[:, None] + loff[None, :]).reshape(-1)
     ids = jnp.zeros((cap,), jnp.int32).at[cidx].set(eid, mode="drop")
-    # correctness guard for fields that violate the band/Lipschitz premise:
-    # any change cell OUTSIDE the candidate blocks flips the overflow flag
-    # and the caller falls back to the full-volume scan — results are
-    # always correct, the candidate scan is only ever a fast path. (The
-    # change-block cap bcap//2 rides the same flag: candidate bands are
-    # 4-5x thicker than the crossing slab, so a 2x margin holds unless the
-    # field is pathologically wiggly — then the fallback, not silence.)
-    missed = jnp.sum(change) - cs[-1]
+    if guard is None:
+        guard = total_change - cs[-1]
     # blk: the compacted (block id, mask lo, mask hi) rows (zero masks past
     # b_count). 12 bytes/block vs 4 bytes/cell — the host reconstructs the
     # id list from this stream (native.mesh_expand_ids) instead of fetching
     # ids over the tunnel (~130 KB vs ~330 KB at production counts)
     blk = jnp.stack([bids, rbits[:, 0], rbits[:, 1]], axis=-1)
-    return ids, cs[-1], jnp.maximum(b_count - b2cap, 0) + missed, blk
+    return ids, cs[-1], jnp.maximum(b_count - b2cap, 0) + guard, blk
 
 
 def _pack8(src_pad: jnp.ndarray, E: int) -> jnp.ndarray:
@@ -1061,6 +1099,277 @@ def _dense_record_words(volume: jnp.ndarray, iso: float) -> list:
     return [w.reshape(-1) for w in words]
 
 
+def _sparse_cell_words(rows_flat: jnp.ndarray, cell_ids: jnp.ndarray,
+                       count: jnp.ndarray, vol_c: jnp.ndarray, *,
+                       stride: int, R: int, iso: float):
+    """SPARSE record words + change bits straight from the fine kernel's
+    per-cell output — the dense [R^3] volume never materializes (round 5:
+    its ~7 ms per-point value scatter, ~2 ms full-volume change scan and
+    ~1 ms upsample were the biggest non-roofline device items; everything
+    the records/scan need lives in the active blocks).
+
+    rows_flat [n_kcells*64] f32: decode_cells output (cell-major, z-major
+    in-block order — the same l = z*16+y*4+x as the scan bits and
+    _cell_points). cell_ids [n_kcells] coarse-cell ids, valid < count.
+
+    Per active block, a [5,5,5] value patch V is assembled with the exact
+    dense-path precedence: own kernel values, +1 halo from neighbor kernel
+    rows where the neighbor is active, else the coarse trilinear — the
+    SAME lo*(1-w)+hi*w arithmetic as infer/sparse._upsample_aligned, so
+    every patch value is bit-equal to the dense volume's. All shifted
+    reads are then static slices of V.
+
+    REQUIRES no active cell on the +boundary (ghost blocks and exact
+    boundary planes stay out of the patch model): callers add n_boundary
+    to the guard so boundary scenes take the dense flow. Returns
+    (words, bits [B3^3,2], cand [B3^3] bool, own_tbl [c^3] i32,
+    guard i32 — coarse mixed-sign non-active cells + kernel-vs-lerp sign
+    mismatches on low faces readable by non-active blocks; == 0 exactly
+    when the dense flow's missed-change guard would be 0 too, see
+    _compact_block_bits)."""
+    S = stride
+    assert S == 4, S
+    c = (R - 1) // S
+    B3 = c + 1
+    rc = c + 1
+    NK = cell_ids.shape[0]
+    f32 = jnp.float32
+    valid = jnp.arange(NK, dtype=jnp.int32) < count
+    czc = cell_ids // (c * c)
+    cyc = (cell_ids // c) % c
+    cxc = cell_ids % c
+
+    own_tbl = jnp.full((c ** 3,), -1, jnp.int32).at[
+        jnp.where(valid, cell_ids, c ** 3)].set(
+        jnp.arange(NK, dtype=jnp.int32), mode="drop")
+    act3 = jnp.zeros((c ** 3,), bool).at[
+        jnp.where(valid, cell_ids, c ** 3)].set(True, mode="drop")
+
+    # GATHER PACKING (all per-cell lookups below address tiny dense
+    # tables, and TPU gathers cost per ROW whatever the row holds — 22
+    # scalar gathers x 18k cells measured ~12 ms, the whole win gone; one
+    # aligned row gather per table is ~10x cheaper. The [c^3, 8]-minor
+    # stacks are the _pack8 relayout at 64^3 scale: ~0.3 ms, not 17.)
+    #   vc8: the 8 coarse corner values per cell
+    #   nb8: the kernel slot of self + the 7 "+1" neighbors (-1 absent)
+    #   cov: bit d = the "-1" neighbor in direction d is active or
+    #        out-of-grid (no lerp reader blocks there — guard mask)
+    def sh8(v3, pad_val):
+        p = jnp.pad(v3, ((0, 1),) * 3, mode="constant",
+                    constant_values=pad_val)
+        return jnp.stack(
+            [jax.lax.slice(p, (dz, dy, dx), (dz + c, dy + c, dx + c))
+             .reshape(-1)
+             for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)], axis=-1)
+
+    # vol_c is [rc,rc,rc]: the +1 corners are real data, no pad needed
+    vc8 = jnp.stack(
+        [jax.lax.slice(vol_c, (dz, dy, dx), (dz + c, dy + c, dx + c))
+         .reshape(-1)
+         for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+        axis=-1)                              # [c^3, 8] (k = dz*4+dy*2+dx)
+    nb8 = sh8(own_tbl.reshape(c, c, c), -1)   # [c^3, 8] (same k order)
+    apad = jnp.pad(act3.reshape(c, c, c), ((1, 0),) * 3, mode="constant",
+                   constant_values=True)
+    cov = jnp.zeros((c ** 3,), jnp.int32)
+    mdirs = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0), (1, 0, 1),
+             (0, 1, 1), (1, 1, 1)]
+    for d, (dx, dy, dz) in enumerate(mdirs):
+        sl = jax.lax.slice(apad, (1 - dz, 1 - dy, 1 - dx),
+                           (1 - dz + c, 1 - dy + c, 1 - dx + c))
+        cov = cov | (sl.reshape(-1).astype(jnp.int32) << d)
+
+    gid = jnp.where(valid, cell_ids, 0)
+    corn8 = jnp.take(vc8, gid, axis=0)                       # [NK, 8]
+    slot8 = jnp.take(nb8, gid, axis=0)                       # [NK, 8]
+    cov_r = jnp.take(cov, gid)                               # [NK]
+
+    # ---- everything below runs in [NK, 64] lane form: a [NK,5,5,5]
+    # patch has a 5-element minor dim, which Mosaic tiles at 5/128 lane
+    # efficiency (~25x padded memory) — the patch version of this builder
+    # measured ~16 ms at production counts, the lane form ~3. Neighbor
+    # values are masked LANE SHIFTS of own/neighbor rows; coarse lerp is
+    # the same chained lo*(1-w)+hi*w as _upsample_aligned with static
+    # per-lane weights, so every value stays bit-equal to the dense
+    # volume's. ----
+    li = np.arange(S ** 3, dtype=np.int32)
+    lx_np, ly_np, lz_np = li % 4, (li // 4) % 4, li // 16
+    rows2 = rows_flat.reshape(NK, S ** 3)
+
+    def vcorn(dz, dy, dx):
+        return corn8[:, dz * 4 + dy * 2 + dx]
+
+    def lerp1(lo, hi, w):
+        return lo * (1 - w) + hi * w
+
+    def lerp_dir(ox, oy, oz):
+        """Coarse trilinear at every lane's target point (comp+o)/4 —
+        the exact per-point expression chain of _upsample_aligned."""
+        wz = jnp.asarray((lz_np + oz).astype(np.float32) / 4.0)[None, :]
+        wy = jnp.asarray((ly_np + oy).astype(np.float32) / 4.0)[None, :]
+        wx = jnp.asarray((lx_np + ox).astype(np.float32) / 4.0)[None, :]
+        az = [[lerp1(vcorn(0, dy, dx)[:, None], vcorn(1, dy, dx)[:, None],
+                     wz) for dx in (0, 1)] for dy in (0, 1)]
+        ay = [lerp1(az[0][dx], az[1][dx], wy) for dx in (0, 1)]
+        return lerp1(ay[0], ay[1], wx)                       # [NK, 64]
+
+    def lsh(a, s):
+        """out[:, l] = a[:, l + s] (zero-filled; callers mask)."""
+        if s == 0:
+            return a
+        if s > 0:
+            return jnp.pad(a[:, s:], ((0, 0), (0, s)))
+        return jnp.pad(a[:, :s], ((0, 0), (-s, 0)))
+
+    nb_rows = {}
+    for k, (dz, dy, dx) in enumerate([(z, y, x) for z in (0, 1)
+                                      for y in (0, 1) for x in (0, 1)]):
+        if (dx, dy, dz) == (0, 0, 0):
+            continue
+        slot = slot8[:, k]
+        nb_rows[(dx, dy, dz)] = (
+            jnp.take(rows2, jnp.maximum(slot, 0), axis=0),
+            ((slot >= 0) & valid)[:, None])
+
+    def build_vj(ox, oy, oz):
+        """Values at every cell's (l + offset) target: own/neighbor kernel
+        rows where the owning block is active, coarse lerp otherwise —
+        the dense volume's exact write precedence (no boundary planes:
+        n_boundary > 0 rides the guard)."""
+        vj = lerp_dir(ox, oy, oz)
+        axes = [a for a in range(3) if (ox, oy, oz)[a]]
+        comp = (lx_np, ly_np, lz_np)
+        step = (1, 4, 16)
+        for nsub in range(1 << len(axes)):
+            sub = [axes[i] for i in range(len(axes)) if (nsub >> i) & 1]
+            lane = np.ones(S ** 3, bool)
+            corr = [0, 0, 0]
+            for a in axes:
+                if a in sub:
+                    lane &= comp[a] == 3
+                    corr[a] = 1
+                else:
+                    lane &= comp[a] < 3
+            shift = (ox * 1 + oy * 4 + oz * 16
+                     - 4 * (corr[0] * 1 + corr[1] * 4 + corr[2] * 16))
+            if not sub:
+                src, ok = rows2, valid[:, None]
+            else:
+                src, ok = nb_rows[(corr[0], corr[1], corr[2])]
+            vj = jnp.where(jnp.asarray(lane)[None, :] & ok,
+                           lsh(src, shift), vj)
+        return vj
+
+    # ---- words: same arithmetic as _dense_record_words ----
+    pair_i_np, pair_j_np, _, _ = _owned_tables()
+    D = len(pair_i_np)
+    assert (CORNERS[pair_i_np]).max() == 0 and D == 7
+    lerp0 = lerp_dir(0, 0, 0)
+    v0 = rows2
+    imask = (v0 < iso).astype(jnp.int32)
+    scale = 255.0 if _tq_bits(R) == 8 else 65535.0
+    tq = []
+    for d in range(D):
+        ox, oy, oz = CORNERS[pair_j_np[d]].tolist()
+        vj = build_vj(ox, oy, oz)
+        k = int(pair_j_np[d])
+        imask = imask | ((vj < iso).astype(jnp.int32) << k)
+        dv = vj - v0
+        t = jnp.where(jnp.abs(dv) > 1e-12, (iso - v0) / dv, 0.5)
+        tq.append(jnp.round(jnp.clip(t, 0.0, 1.0) * scale)
+                  .astype(jnp.int32))
+    if _tq_bits(R) == 8:
+        words = [tq[0] | (tq[1] << 8) | (tq[2] << 16) | (tq[3] << 24),
+                 tq[4] | (tq[5] << 8) | (tq[6] << 16) | (imask << 24)]
+    else:
+        words = [tq[0] | (tq[1] << 16), tq[2] | (tq[3] << 16),
+                 tq[4] | (tq[5] << 16), tq[6] | (imask << 16)]
+    words = [w.reshape(NK * S ** 3) for w in words]
+
+    # ---- change bits: a cell crosses iff its 8 corner signs disagree —
+    # exactly imask not all-zero / all-one (bit-identical to
+    # _sign_change_cells' any/all over the same corner values) ----
+    change = (imask != 0) & (imask != 0xFF) & valid[:, None]
+    wpk = np.zeros((S ** 3, 4), np.float32)
+    for i in range(S ** 3):
+        wpk[i, i // 16] = 2.0 ** (i % 16)
+    dig = jnp.dot(change.astype(f32), jnp.asarray(wpk),
+                  preferred_element_type=f32).astype(jnp.int32)
+    blo_r = dig[:, 0] | (dig[:, 1] << 16)
+    bhi_r = dig[:, 2] | (dig[:, 3] << 16)
+    b3id = (czc * B3 + cyc) * B3 + cxc
+    tgt = jnp.where(valid, b3id, B3 ** 3)
+    blo = jnp.zeros((B3 ** 3,), jnp.int32).at[tgt].set(blo_r, mode="drop")
+    bhi = jnp.zeros((B3 ** 3,), jnp.int32).at[tgt].set(bhi_r, mode="drop")
+    bits = jnp.stack([blo, bhi], axis=-1)
+    cand = jnp.zeros((B3 ** 3,), bool).at[tgt].set(True, mode="drop")
+
+    # ---- soundness guard (the dense flow's missed-change equivalent) ----
+    # (1) a mixed-corner-sign coarse cell outside the active set: its
+    # interior lerp crosses iso in a non-candidate block (uniform-sign
+    # trilinear cannot cross) — _active_cells makes these active, so this
+    # fires only on band-premise violations, exactly like dense `missed`.
+    chg_c = _sign_change_cells(vol_c, iso)[:c, :c, :c].reshape(-1)
+    guard = jnp.sum((chg_c & ~act3).astype(jnp.int32))
+    # (2) kernel-vs-lerp sign mismatch at a low-face point read by a
+    # non-active block's cells: the only way a change cell can hide in a
+    # block the candidate set doesn't cover (its other corners are
+    # uniform-sign lerp by (1)).
+    mm = (rows2 < iso) != (lerp0 < iso)                      # [NK, 64]
+
+    def mact(d):  # cov bit d: -dir neighbor active or out-of-grid
+        return (((cov_r >> d) & 1) > 0)[:, None]
+
+    a_x, a_y, a_z = mact(0), mact(1), mact(2)
+    a_xy, a_xz, a_yz = mact(3), mact(4), mact(5)
+    a_xyz = mact(6)
+    ex = jnp.asarray(lx_np == 0)[None, :]
+    ey = jnp.asarray(ly_np == 0)[None, :]
+    ez = jnp.asarray(lz_np == 0)[None, :]
+    # face x=0 lanes: readers -x, -xy (y==0), -xz (z==0), -xyz (both)
+    badx = ex & (~a_x | (ey & ~a_xy) | (ez & ~a_xz) | (ey & ez & ~a_xyz))
+    bady = ey & (~a_y | (ex & ~a_xy) | (ez & ~a_yz) | (ex & ez & ~a_xyz))
+    badz = ez & (~a_z | (ex & ~a_xz) | (ey & ~a_yz) | (ex & ey & ~a_xyz))
+    guard = guard + jnp.sum(
+        (mm & (badx | bady | badz) & valid[:, None]).astype(jnp.int32))
+    return words, bits, cand, own_tbl, guard
+
+
+def _records_from_words_sparse(words: list, sids: jnp.ndarray,
+                               n_cells: jnp.ndarray, R: int):
+    """(rec, tq) for slots whose ids address the SPARSE words arrays
+    (slot*64 + bit, see _compact_block_bits srow_tbl). The dense twin's
+    ghost aliasing is unnecessary here: the sparse flow guards out
+    boundary-touching actives entirely (no ghost cells ever get slots),
+    and clamped +1 reads inside the patch already yield cross=0."""
+    pair_i_np, pair_j_np, _, _ = _owned_tables()
+    D = len(pair_i_np)
+    S = sids.shape[0]
+    rows = [jnp.take(w, sids) for w in words]
+    if _tq_bits(R) == 8:
+        r0, r1 = rows
+        imask = (r1 >> 24) & 0xFF
+        tq = jnp.stack([(r0 >> 0) & 0xFF, (r0 >> 8) & 0xFF,
+                        (r0 >> 16) & 0xFF, (r0 >> 24) & 0xFF,
+                        (r1 >> 0) & 0xFF, (r1 >> 8) & 0xFF,
+                        (r1 >> 16) & 0xFF], axis=-1).astype(jnp.uint8)
+    else:
+        r0, r1, r2, r3 = rows
+        imask = (r3 >> 16) & 0xFF
+        tq = jnp.stack([(r0 >> 0) & 0xFFFF, (r0 >> 16) & 0xFFFF,
+                        (r1 >> 0) & 0xFFFF, (r1 >> 16) & 0xFFFF,
+                        (r2 >> 0) & 0xFFFF, (r2 >> 16) & 0xFFFF,
+                        (r3 >> 0) & 0xFFFF], axis=-1).astype(jnp.uint16)
+    in_range = jnp.arange(S, dtype=jnp.int32) < n_cells
+    bitj = (imask[:, None] >> jnp.asarray(pair_j_np)[None, :]) & 1
+    cross = ((imask[:, None] & 1) != bitj) & in_range[:, None]
+    cmask = jnp.sum(cross.astype(jnp.int32)
+                    * (1 << jnp.arange(D, dtype=jnp.int32))[None, :],
+                    axis=1)
+    rec = ((cmask << 8) | imask).astype(jnp.uint16)
+    return rec, tq
+
+
 @functools.partial(jax.jit, static_argnames=("iso", "n_iter", "batch"))
 def _extract_records(volume: jnp.ndarray, cell_ids: jnp.ndarray,
                      n_cells: jnp.ndarray, *, iso: float, n_iter: int,
@@ -1283,6 +1592,64 @@ def _records_masked_split(volume, cell_ids, n_cells, *, iso: float,
     if u8:
         rec = (rec & jnp.uint16(0xFF)).astype(jnp.uint8)
     return rec, tq[:t0], tq[t0:t1], tq[t1:], flags
+
+
+@functools.partial(jax.jit, static_argnames=("R", "n_iter", "batch", "u8"))
+def _records_masked_split_sparse(words, sids, n_cells, *, R: int,
+                                 n_iter: int, batch: int, scalars=(),
+                                 u8: bool = True):
+    """_records_masked_split over the SPARSE words arrays (no dense
+    volume; see _sparse_cell_words / _records_from_words_sparse). The
+    emitted streams are byte-identical on every real slot."""
+    S = n_iter * batch
+    cids = jax.lax.slice_in_dim(sids, 0, S)
+    rec, tq = _records_from_words_sparse(list(words), cids, n_cells, R)
+    t0, t1 = S // 3, 2 * S // 3
+    nv = _count_cross(rec)
+    nvk = _chunk_nvs(rec, n_iter, batch)
+    flags = jnp.stack([jnp.asarray(s, jnp.int32).reshape(())
+                       for s in (*scalars, nv, *nvk)])
+    if u8:
+        rec = (rec & jnp.uint16(0xFF)).astype(jnp.uint8)
+    return rec, tq[:t0], tq[t0:t1], tq[t1:], flags
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("R", "start", "size", "nvcap", "u8"))
+def _records_chunk_compact_sparse(words, sids, n_cells, *, R: int,
+                                  start: int, size: int, nvcap: int,
+                                  u8: bool = True):
+    """_records_chunk_compact over the SPARSE words arrays."""
+    cids = jax.lax.slice_in_dim(sids, start, start + size)
+    rec, tq = _records_from_words_sparse(list(words), cids,
+                                         jnp.maximum(n_cells - start, 0), R)
+    tqc, nv = _compact_tq(rec, tq, nvcap)
+    if u8:
+        rec = (rec & jnp.uint16(0xFF)).astype(jnp.uint8)
+    return rec, tqc, nv
+
+
+def extract_mesh_records_deferred_sparse(words, R: int, sdf_params, sids,
+                                         n_cells: int, blk, iso: float = 0.0,
+                                         batch: int = 8192,
+                                         join: bool = True):
+    """extract_mesh_records_deferred for the sparse-words flow (seed and
+    exact re-run paths): records straight from the words arrays, ids
+    always reconstructed host-side from the blk stream."""
+    if n_cells == 0:
+        return lambda: (np.zeros((0, 3), np.float32),
+                        np.zeros((0, 3), np.int32))
+    n_iter, batch = records_n_iter(int(sids.shape[0]), n_cells, batch)
+    assert n_iter * batch >= n_cells, (n_iter, batch, n_cells)
+    rec_d, tq0, tq1, tq2, _ = _records_masked_split_sparse(
+        tuple(words), sids, jnp.int32(n_cells), R=R, n_iter=n_iter,
+        batch=batch)
+    futs = records_submit((tq0, tq1, tq2, blk, rec_d))
+    fin = records_finish_masked(futs, sdf_params, n_cells, R)
+    if join:
+        for f in futs:
+            f.result()
+    return fin
 
 
 @functools.partial(jax.jit, static_argnames=("iso",))

@@ -581,3 +581,91 @@ def test_binary_sparse_matches_dense():
     assert len(vd) == len(vs) and len(fd) == len(fs)
     np.testing.assert_allclose(np.sort(vs, axis=0), np.sort(vd, axis=0),
                                atol=1e-5)
+
+
+def test_sparse_words_exact_twin():
+    """The sparse-words flow (records + change-bit scan straight from the
+    fine kernel's per-cell output, no dense volume) must be an EXACT twin
+    of the dense flow: identical scan outputs (count, blk stream) and
+    byte-identical record streams on every real slot, hence identical
+    meshes through the full speculative ladder. r=0.35 keeps the active
+    band off the volume boundary so the guard stays quiet and the sparse
+    flow actually runs: at sdf_res=64 the autocal band is ~0.56 world, so
+    active corners reach r+0.56 — r=0.25 keeps that under the last cell
+    row at 0.875 (the r=0.6 ladder fixture touches the boundary and
+    legitimately falls back)."""
+    import numpy as np
+    from disn_tpu.data import synthetic
+    from disn_tpu.infer import pipeline
+    from disn_tpu.infer import sparse as sparse_mod
+    from disn_tpu.ops import marching as m
+
+    cfg_s = synthetic.tiny_config(sdf_res=64, num_classes=32,
+                                  width_mult=0.125,
+                                  compute_dtype="float32")
+    cfg_s = cfg_s.replace(cell_cap_frac=0.9, sparse_words=True)
+    cfg_d = cfg_s.replace(sparse_words=False)
+    params = synthetic.analytic_octahedron_params(cfg_s, r=0.25)
+    rng = np.random.RandomState(3)
+    trans = synthetic.demo_trans_mat()
+    sdfp = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+
+    # --- unit twin: same phase_a outputs through both pbm jits ---
+    img = rng.rand(1, 137, 137, 3).astype(np.float32)
+    block = 32768
+    sizes, _, _ = sparse_mod._sparse_parts(cfg_s, 4, block, 0.9, 1.5)
+    pa = sparse_mod._phase_a_jit(cfg_s, 4, block, 0.9, 1.5)
+    pa_out = pa(params, jnp.asarray(img), jnp.asarray(trans),
+                jnp.asarray(sdfp))
+    emb, eps, vol_c, cell_ids, count, esc_a = pa_out
+    nb = pipeline._needed_blocks(int(count), sizes)
+    bcap = pipeline._fused_bcap(nb, sizes)
+    dn = sparse_mod._phase_b_mesh_jit(cfg_s, 4, block, 0.9, 1.5, nb,
+                                      0.0, bcap)
+    sp = sparse_mod._phase_b_mesh_sparse_jit(cfg_s, 4, block, 0.9, 1.5, nb,
+                                             0.0, bcap)
+    vol, eb_d, ids_d, nc_d, gov_d, blk_d = dn(params, emb, eps, vol_c,
+                                              cell_ids, count,
+                                              jnp.asarray(trans),
+                                              jnp.asarray(sdfp))
+    words, eb_s, ids_s, nc_s, gov_s, blk_s = sp(params, emb, eps, vol_c,
+                                                cell_ids, count,
+                                                jnp.asarray(trans),
+                                                jnp.asarray(sdfp))
+    assert int(gov_d) == 0 and int(gov_s) == 0
+    nc = int(nc_d)
+    assert nc == int(nc_s) and nc > 0
+    np.testing.assert_array_equal(np.asarray(blk_s), np.asarray(blk_d))
+    n_iter, batch = m.records_n_iter(int(ids_d.shape[0]), nc, 8192)
+    rec_d, d0, d1, d2, fl_d = m._records_masked_split(
+        vol, ids_d, nc_d, iso=0.0, n_iter=n_iter, batch=batch)
+    rec_s, s0, s1, s2, fl_s = m._records_masked_split_sparse(
+        words, ids_s, nc_s, R=cfg_s.grid_resolution, n_iter=n_iter,
+        batch=batch)
+    assert int(fl_d[0]) == int(fl_s[0])  # nv
+    np.testing.assert_array_equal(np.asarray(rec_s)[:nc],
+                                  np.asarray(rec_d)[:nc])
+    tq_d = np.concatenate([np.asarray(x).reshape(-1, 7)
+                           for x in (d0, d1, d2)])[:nc]
+    tq_s = np.concatenate([np.asarray(x).reshape(-1, 7)
+                           for x in (s0, s1, s2)])[:nc]
+    np.testing.assert_array_equal(tq_s, tq_d)
+
+    # --- integration twin: full speculative ladder, both flows ---
+    def ladder(cfg):
+        pipeline._SPEC_CACHE.clear()
+        pipeline._SWORDS_SKIP.clear()
+        out = []
+        r2 = np.random.RandomState(7)
+        for i in range(4):
+            im = r2.rand(1, 137, 137, 3).astype(np.float32)
+            out.append(pipeline.image_to_mesh(params, im, trans, cfg))
+        return out
+
+    ms = ladder(cfg_s)
+    key = (cfg_s, float(cfg_s.iso), block)
+    assert key not in pipeline._SWORDS_SKIP  # sparse flow really ran
+    md = ladder(cfg_d)
+    for (vs, fs), (vd, fd) in zip(ms, md):
+        np.testing.assert_array_equal(fs, fd)
+        np.testing.assert_array_equal(vs, vd)
